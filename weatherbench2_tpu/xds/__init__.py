@@ -1,0 +1,49 @@
+"""xds: minimal TPU-friendly labeled arrays (xarray-free).
+
+Public API mirrors the subset of xarray used by WeatherBench-style
+verification pipelines.
+"""
+from .core import (
+    DataArray,
+    Dataset,
+    Index,
+    Variable,
+    apply_ufunc,
+    align_arrays,
+    broadcast_dims_order,
+    broadcast_variables,
+    combine_by_coords,
+    concat,
+    dot,
+    full_like,
+    merge,
+    ones_like,
+    where,
+    zeros_like,
+)
+from .io_netcdf import open_netcdf, to_netcdf
+from .io_zarr import ZarrArray, open_zarr, to_zarr
+
+__all__ = [
+    "DataArray",
+    "Dataset",
+    "Index",
+    "Variable",
+    "apply_ufunc",
+    "align_arrays",
+    "broadcast_dims_order",
+    "broadcast_variables",
+    "combine_by_coords",
+    "concat",
+    "dot",
+    "full_like",
+    "merge",
+    "ones_like",
+    "where",
+    "zeros_like",
+    "open_netcdf",
+    "to_netcdf",
+    "open_zarr",
+    "to_zarr",
+    "ZarrArray",
+]

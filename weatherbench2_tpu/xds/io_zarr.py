@@ -1,0 +1,279 @@
+"""Zarr v2 IO for xds Datasets, backed by tensorstore.
+
+Follows the xarray on-disk convention: one zarr array per variable, with an
+``_ARRAY_DIMENSIONS`` attribute naming its dims, a group-level ``.zgroup``,
+and optional consolidated metadata in ``.zmetadata``.  Datetime64 and
+timedelta64 values are CF-encoded as int64 with a ``units`` attribute, so
+stores written here can express the same time coordinates the reference
+pipelines use (see /root/reference/weatherbench2/schema.py for the time
+conventions).
+
+String-valued coordinates (e.g. ``metric`` / ``region`` axes of result
+datasets) are stored as JSON in the group attrs under ``_xds_string_arrays``
+since raw zarr has no portable unicode dtype.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import json
+import os
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+from . import core
+
+_TS = None
+
+
+def _ts():
+  global _TS
+  if _TS is None:
+    import tensorstore
+
+    _TS = tensorstore
+  return _TS
+
+
+_CF_UNITS = {
+    "nanoseconds": "ns",
+    "microseconds": "us",
+    "milliseconds": "ms",
+    "seconds": "s",
+    "minutes": "m",
+    "hours": "h",
+    "days": "D",
+}
+
+
+def _encode_cf(values: np.ndarray):
+  """Encode datetime64/timedelta64 as (int64, attrs)."""
+  if np.issubdtype(values.dtype, np.datetime64):
+    data = values.astype("datetime64[ns]").astype(np.int64)
+    return data, {"units": "nanoseconds since 1970-01-01", "calendar": "proleptic_gregorian"}
+  if np.issubdtype(values.dtype, np.timedelta64):
+    data = values.astype("timedelta64[ns]").astype(np.int64)
+    return data, {"units": "nanoseconds"}
+  return values, {}
+
+
+def _decode_cf(data: np.ndarray, attrs: Mapping[str, Any]) -> np.ndarray:
+  units = attrs.get("units")
+  if not isinstance(units, str):
+    return data
+  parts = units.split(" since ")
+  if len(parts) == 2:
+    unit_name, epoch = parts
+    np_unit = _CF_UNITS.get(unit_name.strip())
+    if np_unit is None:
+      return data
+    epoch64 = np.datetime64(epoch.strip().replace(" ", "T"), "ns")
+    step = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
+    return (epoch64 + data.astype(np.int64) * step).astype("datetime64[ns]")
+  unit_name = units.strip()
+  np_unit = _CF_UNITS.get(unit_name)
+  if np_unit is not None and np.issubdtype(data.dtype, np.integer):
+    return (data.astype(np.int64) * np.timedelta64(1, np_unit).astype(
+        "timedelta64[ns]"
+    )).astype("timedelta64[ns]")
+  return data
+
+
+def _dtype_str(dtype: np.dtype) -> str:
+  return dtype.newbyteorder("<").str
+
+
+def _write_json(path: str, obj) -> None:
+  with open(path, "w") as f:
+    json.dump(obj, f, indent=2, default=str)
+
+
+def _var_chunks(shape, chunks_spec, dims):
+  if chunks_spec is None:
+    return [max(1, s) for s in shape]
+  out = []
+  for d, s in zip(dims, shape):
+    c = chunks_spec.get(d, -1)
+    out.append(s if c in (-1, None) else min(c, max(s, 1)))
+  return [max(1, c) for c in out]
+
+
+def to_zarr(
+    ds: core.Dataset,
+    path: str,
+    chunks: Optional[Mapping[str, int]] = None,
+    mode: str = "w",
+) -> None:
+  """Write a Dataset to a zarr v2 store on the local filesystem."""
+  os.makedirs(path, exist_ok=True)
+  _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+
+  group_attrs: dict[str, Any] = dict(ds.attrs)
+  string_arrays: dict[str, Any] = {}
+  consolidated: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
+
+  all_vars: dict[str, tuple[core.Variable, bool]] = {}
+  for name, v in ds.coords_dict().items():
+    all_vars[name] = (v, True)
+  for name, v in ds.variables_dict().items():
+    all_vars[name] = (v, False)
+
+  futures = []
+  ts = _ts()
+  for name, (var, _is_coord) in all_vars.items():
+    values = core._to_numpy(var.data)
+    if values.dtype.kind in ("U", "O", "S"):
+      string_arrays[name] = {
+          "dims": list(var.dims),
+          "values": np.asarray(values, dtype=str).tolist(),
+      }
+      continue
+    data, cf_attrs = _encode_cf(values)
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
+    chunk_shape = _var_chunks(data.shape, chunks, var.dims)
+    spec = {
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
+        "metadata": {
+            "shape": list(data.shape),
+            "chunks": chunk_shape if data.ndim else [],
+            "dtype": _dtype_str(data.dtype),
+            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                           "shuffle": 2},
+            "fill_value": None,
+            "filters": None,
+            "order": "C",
+            "zarr_format": 2,
+        },
+        "create": True,
+        "delete_existing": mode == "w",
+    }
+    arr = ts.open(spec).result()
+    futures.append(arr.write(data))
+    _write_json(os.path.join(path, name, ".zattrs"), zattrs)
+    zarray = json.loads(
+        open(os.path.join(path, name, ".zarray")).read()
+    ) if os.path.exists(os.path.join(path, name, ".zarray")) else spec[
+        "metadata"
+    ]
+    consolidated[f"{name}/.zarray"] = zarray
+    consolidated[f"{name}/.zattrs"] = zattrs
+
+  for f in futures:
+    f.result()
+
+  if string_arrays:
+    group_attrs["_xds_string_arrays"] = string_arrays
+  _write_json(os.path.join(path, ".zattrs"), group_attrs)
+  consolidated[".zattrs"] = group_attrs
+  _write_json(
+      os.path.join(path, ".zmetadata"),
+      {"metadata": consolidated, "zarr_consolidated_format": 1},
+  )
+
+
+class ZarrArray:
+  """Lazy handle to a single zarr array (tensorstore-backed)."""
+
+  def __init__(self, path: str, name: str, zattrs: Mapping[str, Any]):
+    self.path = path
+    self.name = name
+    self.attrs = dict(zattrs)
+    self.dims = tuple(self.attrs.pop("_ARRAY_DIMENSIONS"))
+    self._store = None
+
+  @property
+  def store(self):
+    if self._store is None:
+      self._store = _ts().open(
+          {
+              "driver": "zarr",
+              "kvstore": {
+                  "driver": "file",
+                  "path": os.path.join(self.path, self.name),
+              },
+          }
+      ).result()
+    return self._store
+
+  @property
+  def shape(self):
+    return tuple(self.store.shape)
+
+  def read(self, key=None) -> np.ndarray:
+    st = self.store
+    raw = (st[key] if key is not None else st).read().result()
+    return _decode_cf(np.asarray(raw), self.attrs)
+
+
+def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
+  """Open a zarr group as a Dataset (eager read by default)."""
+  meta_path = os.path.join(path, ".zmetadata")
+  entries: dict[str, dict] = {}
+  group_attrs: dict[str, Any] = {}
+  if os.path.exists(meta_path):
+    with open(meta_path) as f:
+      meta = json.load(f)["metadata"]
+    group_attrs = dict(meta.get(".zattrs", {}))
+    for key, val in meta.items():
+      if key.endswith("/.zattrs"):
+        entries[key[: -len("/.zattrs")]] = val
+  else:
+    if os.path.exists(os.path.join(path, ".zattrs")):
+      with open(os.path.join(path, ".zattrs")) as f:
+        group_attrs = json.load(f)
+    for name in sorted(os.listdir(path)):
+      sub = os.path.join(path, name)
+      if os.path.isdir(sub) and os.path.exists(os.path.join(sub, ".zarray")):
+        zattrs = {}
+        if os.path.exists(os.path.join(sub, ".zattrs")):
+          with open(os.path.join(sub, ".zattrs")) as f:
+            zattrs = json.load(f)
+        entries[name] = zattrs
+
+  string_arrays = group_attrs.pop("_xds_string_arrays", {})
+
+  arrays: dict[str, ZarrArray] = {}
+  for name, zattrs in entries.items():
+    if "_ARRAY_DIMENSIONS" not in zattrs:
+      continue
+    arrays[name] = ZarrArray(path, name, zattrs)
+
+  # read eagerly (in parallel threads; tensorstore releases the GIL)
+  variables: dict[str, core.Variable] = {}
+  with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+    results = {
+        name: pool.submit(arr.read) for name, arr in arrays.items()
+    }
+    for name, fut in results.items():
+      arr = arrays[name]
+      variables[name] = core.Variable(arr.dims, fut.result(), arr.attrs)
+
+  for name, spec in string_arrays.items():
+    variables[name] = core.Variable(
+        tuple(spec["dims"]), np.asarray(spec["values"], dtype=object)
+    )
+
+  dim_names = set()
+  for v in variables.values():
+    dim_names.update(v.dims)
+  coords = {}
+  data_vars = {}
+  for name, v in variables.items():
+    if name in dim_names or _looks_like_coord(name, v, dim_names):
+      coords[name] = v
+    else:
+      data_vars[name] = v
+  return core.Dataset(data_vars, coords=coords, attrs=group_attrs)
+
+
+_KNOWN_COORD_NAMES = {
+    "latitude", "longitude", "level", "time", "init_time", "valid_time",
+    "lead_time", "prediction_timedelta", "dayofyear", "hour", "quantile",
+    "realization", "number", "metric", "region", "bins", "zonal_wavenumber",
+    "wavelength", "frequency",
+}
+
+
+def _looks_like_coord(name, var, dim_names) -> bool:
+  return name in _KNOWN_COORD_NAMES

@@ -1,0 +1,1176 @@
+"""Verification metric classes (deterministic + probabilistic).
+
+Class-for-class parity with the reference's weatherbench2/metrics.py
+(/root/reference/weatherbench2/metrics.py): every metric exposes
+``compute_chunk`` (per-time) and ``compute`` (time-averaged).  The math is
+written against the xds labeled-array layer, which dispatches to jax.numpy
+whenever the payloads are jax Arrays — so a whole metric×region loop traces
+into a single XLA program under jit, with elementwise ops fused into the
+weighted-reduction epilogues by the compiler (plus Pallas kernels in
+weatherbench2_tpu.ops for the hottest fused reductions).
+
+Numerical semantics intentionally preserved from the reference:
+  * latitude/area weights from cell-area integrals, normalized by their mean
+    (metrics.py:40-60 in the reference);
+  * region guard ``where(weights > 0, 0)`` before weighted averaging
+    (reference metrics.py:160);
+  * skipna handling of NaNs in both numerator and sum-of-weights;
+  * ddof=1 ensemble variances; PWM/rank-based O(M log M) CRPS spread
+    estimator (Zamo & Naveau) (reference metrics.py:781-846);
+  * debiased ensemble-mean MSE via sample-variance correction
+    (reference metrics.py:532-565).
+"""
+from collections.abc import Sequence
+import dataclasses
+import functools
+import typing as t
+
+import numpy as np
+
+from weatherbench2_tpu import thresholds as thresholds_lib
+from weatherbench2_tpu import xds
+from weatherbench2_tpu.regions import Region
+from weatherbench2_tpu.xds.core import _is_jax, _xp
+
+REALIZATION = "realization"
+
+
+def _assert_increasing(x: np.ndarray):
+  if not (np.diff(x) > 0).all():
+    raise ValueError(f"array is not increasing: {x}")
+
+
+def _latitude_cell_bounds(x: np.ndarray) -> np.ndarray:
+  pi_over_2 = np.array([np.pi / 2], dtype=x.dtype)
+  return np.concatenate([-pi_over_2, (x[:-1] + x[1:]) / 2, pi_over_2])
+
+
+def _cell_area_from_latitude(points: np.ndarray) -> np.ndarray:
+  """Normalized area overlap as a function of latitude."""
+  bounds = _latitude_cell_bounds(points)
+  _assert_increasing(bounds)
+  upper = bounds[1:]
+  lower = bounds[:-1]
+  # normalized cell area: integral from lower to upper of cos(latitude)
+  return np.sin(upper) - np.sin(lower)
+
+
+def get_lat_weights(ds) -> xds.DataArray:
+  """Latitude/area weights from the latitude coordinate of a dataset."""
+  lat = np.asarray(
+      ds.coords_dict()["latitude"].data
+      if isinstance(ds, xds.Dataset)
+      else ds.coords["latitude"].data
+  )
+  weights = _cell_area_from_latitude(np.deg2rad(lat))
+  weights /= np.mean(weights)
+  return xds.DataArray(weights, dims=("latitude",),
+                       coords={"latitude": lat}, name="latitude")
+
+
+def _get_climatology_chunk(
+    climatology: xds.Dataset, truth: xds.Dataset
+) -> xds.Dataset:
+  """The climatological mean of the observed true variables."""
+  names = list(truth.keys())
+  if all(k in climatology for k in names):
+    return climatology[names]
+  clim_var_dict = {str(key) + "_mean": key for key in names}
+  not_found = set(names).difference(climatology.keys())
+  not_found_means = set(clim_var_dict).difference(climatology.keys())
+  if not_found and not_found_means:
+    raise KeyError(
+        f"Did not find {not_found} keys in climatology. Appending "
+        "'mean' did not help."
+    )
+  return climatology[list(clim_var_dict.keys())].rename(clim_var_dict)
+
+
+@dataclasses.dataclass
+class Metric:
+  """Base class for metrics."""
+
+  def compute_chunk(
+      self,
+      forecast: xds.Dataset,
+      truth: xds.Dataset,
+      region: t.Optional[Region] = None,
+      skipna: bool = False,
+  ) -> xds.Dataset:
+    """Evaluate this metric on a temporal chunk of data."""
+    raise NotImplementedError
+
+  def compute(
+      self,
+      forecast: xds.Dataset,
+      truth: xds.Dataset,
+      region: t.Optional[Region] = None,
+      skipna: bool = False,
+  ) -> xds.Dataset:
+    """Evaluate on datasets with full temporal coverage (mean over time)."""
+    if "time" in forecast.sizes:
+      avg_dim = "time"
+    elif "init_time" in forecast.sizes:
+      avg_dim = "init_time"
+    else:
+      raise ValueError(
+          "Forecast has neither time nor init_time dimension"
+      )
+    return self.compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    ).mean(avg_dim, skipna=skipna)
+
+
+def _spatial_average(
+    dataset: xds.Dataset,
+    region: t.Optional[Region],
+    skipna: bool,
+):
+  """Area-weighted spatial mean after applying the region mask."""
+  weights = get_lat_weights(dataset)
+  if region is not None:
+    dataset, weights = region.apply(dataset, weights)
+    # ignore NaN/Inf values in regions with zero weight
+    dataset = dataset.where(weights > 0, 0)
+  return dataset.weighted(weights).mean(
+      ["latitude", "longitude"], skipna=skipna
+  )
+
+
+def _sqrt(obj):
+  if isinstance(obj, xds.Dataset):
+    return obj.map(_sqrt)
+  xp = _xp(obj.data)
+  return obj.copy(data=xp.sqrt(obj.data))
+
+
+def _log(obj):
+  if isinstance(obj, xds.Dataset):
+    return obj.map(_log)
+  xp = _xp(obj.data)
+  return obj.copy(data=xp.log(obj.data))
+
+
+def _norm_cdf(obj):
+  if isinstance(obj, xds.Dataset):
+    return obj.map(_norm_cdf)
+  if _is_jax(obj.data):
+    from jax.scipy.special import erf
+  else:
+    from scipy.special import erf
+  xp = _xp(obj.data)
+  return obj.copy(data=0.5 * (1.0 + erf(obj.data / xp.sqrt(2.0))))
+
+
+def _norm_pdf(obj):
+  if isinstance(obj, xds.Dataset):
+    return obj.map(_norm_pdf)
+  xp = _xp(obj.data)
+  return obj.copy(
+      data=xp.exp(-0.5 * obj.data**2) / np.sqrt(2.0 * np.pi)
+  )
+
+
+def _spatial_average_l2_norm(dataset, region, skipna):
+  """sqrt(spatial_average(ds**2))."""
+  return _sqrt(_spatial_average(dataset**2, region=region, skipna=skipna))
+
+
+@dataclasses.dataclass
+class WindVectorMSE(Metric):
+  """Wind vector mean squared error (see WB2 paper)."""
+
+  u_name: str
+  v_name: str
+  vector_name: str
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    diff = forecast - truth
+    return _spatial_average(
+        diff[self.u_name] ** 2 + diff[self.v_name] ** 2,
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class WindVectorRMSESqrtBeforeTimeAvg(Metric):
+  """Wind vector RMSE with sqrt taken before time averaging."""
+
+  u_name: str
+  v_name: str
+  vector_name: str
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    mse = WindVectorMSE(
+        u_name=self.u_name, v_name=self.v_name, vector_name=self.vector_name
+    ).compute_chunk(forecast, truth, region=region, skipna=skipna)
+    return _sqrt(mse)
+
+
+@dataclasses.dataclass
+class RMSESqrtBeforeTimeAvg(Metric):
+  """RMSE with the square root taken before time averaging."""
+
+  wind_vector_rmse: t.Optional[list] = None
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    results = _spatial_average_l2_norm(
+        forecast - truth, region=region, skipna=skipna
+    )
+    if self.wind_vector_rmse is not None:
+      for wv in self.wind_vector_rmse:
+        results[wv.vector_name] = wv.compute_chunk(
+            forecast, truth, region=region, skipna=skipna
+        )
+    return results
+
+
+@dataclasses.dataclass
+class MSE(Metric):
+  """Mean squared error."""
+
+  wind_vector_mse: t.Optional[list] = None
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    results = _spatial_average(
+        (forecast - truth) ** 2, region=region, skipna=skipna
+    )
+    if self.wind_vector_mse is not None:
+      for wv in self.wind_vector_mse:
+        results[wv.vector_name] = wv.compute_chunk(
+            forecast, truth, region=region, skipna=skipna
+        )
+    return results
+
+
+@dataclasses.dataclass
+class SpatialMSE(Metric):
+  """MSE without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del skipna
+    return (forecast - truth) ** 2
+
+
+@dataclasses.dataclass
+class MAE(Metric):
+  """Mean absolute error."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _spatial_average(abs(forecast - truth), region=region,
+                            skipna=skipna)
+
+
+@dataclasses.dataclass
+class SpatialMAE(Metric):
+  """MAE without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del skipna
+    return abs(forecast - truth)
+
+
+@dataclasses.dataclass
+class Bias(Metric):
+  """Mean error."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _spatial_average(forecast - truth, region=region, skipna=skipna)
+
+
+@dataclasses.dataclass
+class SpatialBias(Metric):
+  """Bias without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del skipna
+    return forecast - truth
+
+
+def _align_climatology_to_forecast(
+    climatology: xds.Dataset, forecast: xds.Dataset, truth: xds.Dataset
+) -> xds.Dataset:
+  """Select a climatology at the forecast's (dayofyear[, hour]) times."""
+  if "init_time" in forecast.sizes:
+    time_dim = "valid_time"
+  else:
+    time_dim = "time"
+  climatology_chunk = _get_climatology_chunk(climatology, truth)
+  if "level" in forecast.sizes and "level" in climatology_chunk.sizes:
+    climatology_chunk = climatology_chunk.sel(
+        level=forecast["level"].values
+    )
+  time_selection = dict(dayofyear=forecast[time_dim].dt.dayofyear)
+  if "hour" in climatology_chunk.coords_dict():
+    time_selection["hour"] = forecast[time_dim].dt.hour
+  return climatology_chunk.sel(time_selection)
+
+
+@dataclasses.dataclass
+class ACC(Metric):
+  """Anomaly correlation coefficient.
+
+  Attributes:
+    climatology: Climatology dataset for computing anomalies.
+  """
+
+  climatology: xds.Dataset
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    climatology_chunk = _align_climatology_to_forecast(
+        self.climatology, forecast, truth
+    )
+    forecast_anom = forecast - climatology_chunk
+    truth_anom = truth - climatology_chunk
+    return _spatial_average(
+        forecast_anom * truth_anom, region=region, skipna=skipna
+    ) / _sqrt(
+        _spatial_average(forecast_anom**2, region=region, skipna=skipna)
+        * _spatial_average(truth_anom**2, region=region, skipna=skipna)
+    )
+
+
+@dataclasses.dataclass
+class SpatialSEEPS(Metric):
+  """Stable Equitable Error in Probability Space (Rodwell et al. 2010).
+
+  Scores 3-category precipitation (dry / light / heavy) against per-location
+  climatological wet thresholds and dry fractions (reference
+  metrics.py:418-508).
+
+  Attributes:
+    climatology: dataset containing ``{precip_name}_seeps_threshold`` [m]
+      and ``{precip_name}_seeps_dry_fraction`` [0-1].
+    dry_threshold_mm: dry threshold in mm.
+    precip_name: name of the precipitation variable.
+    min_p1 / max_p1: mask out locations with climatological dry fraction
+      outside (min_p1, max_p1).
+  """
+
+  climatology: xds.Dataset
+  dry_threshold_mm: float = 0.25
+  precip_name: str = "total_precipitation_24hr"
+  min_p1: float = 0.1
+  max_p1: float = 0.85
+
+  @functools.cached_property
+  def p1(self) -> xds.DataArray:
+    dry_fraction = self.climatology[
+        f"{self.precip_name}_seeps_dry_fraction"
+    ]
+    return dry_fraction.mean(["hour", "dayofyear"])
+
+  def _category_indicators(self, ds: xds.Dataset):
+    """(dry, light, heavy) float indicators with NaN propagation."""
+    wet_threshold = self.climatology[f"{self.precip_name}_seeps_threshold"]
+    dry_threshold = self.dry_threshold_mm / 1000.0
+    da = ds[self.precip_name]
+    valid_time = ds["valid_time"]
+    wet = wet_threshold.sel(
+        dayofyear=valid_time.dt.dayofyear, hour=valid_time.dt.hour
+    )
+    nan_mask = da.notnull()
+    dry = (da < dry_threshold).astype(float).where(nan_mask)
+    light = ((da > dry_threshold) & (da < wet)).astype(float).where(nan_mask)
+    heavy = (da >= wet).astype(float).where(nan_mask)
+    return dry, light, heavy
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del skipna  # Ignored; effectively True because of the p1 mask.
+    f_dry, f_light, f_heavy = self._category_indicators(forecast)
+    t_dry, t_light, t_heavy = self._category_indicators(truth)
+    p1 = self.p1
+    # Scoring matrix (row: forecast cat, col: truth cat), times 0.5:
+    #   [[0,            1/(1-p1),   4/(1-p1)],
+    #    [1/p1,         0,          3/(1-p1)],
+    #    [1/p1+3/(2+p1), 3/(2+p1),  0       ]]
+    one = 1.0
+    result = 0.5 * (
+        f_dry * t_light * (one / (1 - p1))
+        + f_dry * t_heavy * (4.0 / (1 - p1))
+        + f_light * t_dry * (one / p1)
+        + f_light * t_heavy * (3.0 / (1 - p1))
+        + f_heavy * t_dry * (one / p1 + 3.0 / (2 + p1))
+        + f_heavy * t_light * (3.0 / (2 + p1))
+    )
+    result = result.where(p1 < self.max_p1, np.nan)
+    result = result.where(p1 > self.min_p1, np.nan)
+    return xds.Dataset(
+        {f"{self.precip_name}": result.variable},
+        coords={**result.coords},
+    )
+
+
+@dataclasses.dataclass
+class SEEPS(SpatialSEEPS):
+  """Spatially averaged SEEPS."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del skipna  # Ignored; effectively True because of the p1 mask.
+    result = super().compute_chunk(forecast, truth, region)
+    return _spatial_average(result, region=region, skipna=True)
+
+
+################################################################################
+# Probabilistic metrics.
+################################################################################
+
+
+def _get_n_ensemble(
+    ds: xds.Dataset, ensemble_dim: str, expect_n_ensemble_at_least: int = 1
+) -> int:
+  if ensemble_dim not in ds.sizes:
+    raise ValueError(f"ensemble_dim={ensemble_dim!r} not found in {ds.sizes}")
+  n_ensemble = ds.sizes[ensemble_dim]
+  if n_ensemble < expect_n_ensemble_at_least:
+    raise ValueError(
+        f"{n_ensemble=} is less than expected size of "
+        f"{expect_n_ensemble_at_least}"
+    )
+  return n_ensemble
+
+
+def _debiased_ensemble_mean_mse(
+    forecast: xds.Dataset,
+    truth: xds.Dataset,
+    ensemble_dim: str,
+    skipna: bool,
+) -> xds.Dataset:
+  """Unbiased estimate of E(forecast.mean() - truth)²."""
+  forecast_mean = forecast.mean(ensemble_dim, skipna=skipna)
+  forecast_var = forecast.var(ensemble_dim, skipna=skipna, ddof=1)
+  biased_mse = (truth - forecast_mean) ** 2
+  return biased_mse - forecast_var / _get_n_ensemble(forecast, ensemble_dim)
+
+
+@dataclasses.dataclass
+class EnsembleMetric(Metric):
+  """Ensemble metric base class."""
+
+  ensemble_dim: str = REALIZATION
+
+  def _ensemble_slice(self, ds: xds.Dataset, slice_obj: slice) -> xds.Dataset:
+    ds = ds.isel({self.ensemble_dim: slice_obj})
+    return ds.assign_coords(
+        {self.ensemble_dim: np.arange(ds.sizes[self.ensemble_dim])}
+    )
+
+  def compute(self, forecast, truth, region=None, skipna=False):
+    result = super().compute(forecast, truth, region=region, skipna=skipna)
+    return result.assign_attrs(
+        ensemble_size=forecast.sizes[self.ensemble_dim]
+    )
+
+
+def _rankdata(x, axis: int):
+  """Ordinal rank along axis, 1-based (ties broken by order)."""
+  xp = _xp(x)
+  j = xp.argsort(x, axis=axis)
+  ranks = xp.argsort(j, axis=axis) + 1
+  return ranks
+
+
+def _pointwise_crps_spread(
+    forecast: xds.Dataset, ensemble_dim: str, skipna: bool
+) -> xds.Dataset:
+  """CRPS spread E|X - X'| via the sorted/rank PWM estimator (Zamo eqn 3).
+
+  λ₂ = 1/(M(M-1)) Σᵢ (2i - M - 1) X₍ᵢ₎ computed via ranks: O(M log M)
+  compute instead of the O(M²) pairwise double sum.
+  """
+  n_ensemble = _get_n_ensemble(forecast, ensemble_dim)
+  if n_ensemble < 2:
+    return xds.zeros_like(forecast.isel({ensemble_dim: 0}))
+
+  def per_var(da: xds.DataArray) -> xds.DataArray:
+    ax = da.dims.index(ensemble_dim)
+    rank = da.copy(data=_rankdata(da.data, ax))
+    return (
+        2
+        * (((2 * rank - n_ensemble - 1) * da).mean(
+            ensemble_dim, skipna=skipna
+        ))
+        / (n_ensemble - 1)
+    )
+
+  return forecast.map(per_var)
+
+
+def _pointwise_crps_skill(
+    forecast: xds.Dataset, truth: xds.Dataset, ensemble_dim: str, skipna: bool
+) -> xds.Dataset:
+  """CRPS skill E|X - Y| at each point."""
+  _get_n_ensemble(forecast, ensemble_dim)
+  return abs(truth - forecast).mean(ensemble_dim, skipna=skipna)
+
+
+@dataclasses.dataclass
+class CRPS(EnsembleMetric):
+  """Continuous Ranked Probability Score: E|X-Y| - 0.5 E|X-X'|.
+
+  Uses the PWM rank estimator from [Zamo & Naveau 2018]; unbiased for
+  ensembles of 2+ members.
+  """
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return CRPSSkill(self.ensemble_dim).compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    ) - 0.5 * CRPSSpread(self.ensemble_dim).compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    )
+
+
+@dataclasses.dataclass
+class CRPSSpread(EnsembleMetric):
+  """The spread measure associated with CRPS, E|X - X'|."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _spatial_average(
+        _pointwise_crps_spread(forecast, self.ensemble_dim, skipna=skipna),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class CRPSSkill(EnsembleMetric):
+  """The skill measure associated with CRPS, E|X - Y|."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _spatial_average(
+        _pointwise_crps_skill(forecast, truth, self.ensemble_dim,
+                              skipna=skipna),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class SpatialCRPS(EnsembleMetric):
+  """CRPS without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return SpatialCRPSSkill(self.ensemble_dim).compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    ) - 0.5 * SpatialCRPSSpread(self.ensemble_dim).compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    )
+
+
+@dataclasses.dataclass
+class SpatialCRPSSpread(EnsembleMetric):
+  """CRPSSpread without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _pointwise_crps_spread(forecast, self.ensemble_dim, skipna=skipna)
+
+
+@dataclasses.dataclass
+class SpatialCRPSSkill(EnsembleMetric):
+  """CRPSSkill without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _pointwise_crps_skill(
+        forecast, truth, self.ensemble_dim, skipna=skipna
+    )
+
+
+def _gaussian_var_pairs(forecast: xds.Dataset) -> list[str]:
+  return [
+      str(var)
+      for var in forecast.keys()
+      if f"{var}_std" in forecast.keys()
+  ]
+
+
+def _pointwise_gaussian_crps(
+    forecast: xds.Dataset, truth: xds.Dataset
+) -> xds.Dataset:
+  """Closed-form CRPS of a Gaussian forecast (Gneiting et al. 2005)."""
+  dataset = xds.Dataset({}, coords=dict(forecast.coords_dict()))
+  for var_name in _gaussian_var_pairs(forecast):
+    std = forecast[f"{var_name}_std"]
+    norm_diff = (forecast[var_name] - truth[var_name]) / std
+    value = std * (
+        norm_diff * (2 * _norm_cdf(norm_diff) - 1)
+        + 2 * _norm_pdf(norm_diff)
+        - 1 / np.sqrt(np.pi)
+    )
+    dataset[var_name] = value
+  return dataset
+
+
+@dataclasses.dataclass
+class GaussianCRPS(Metric):
+  """The analytical formulation of CRPS for a Gaussian."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return _spatial_average(
+        _pointwise_gaussian_crps(forecast, truth),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class GaussianVariance(Metric):
+  """The variance of a Gaussian forecast."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del truth
+    dataset = xds.Dataset({}, coords=dict(forecast.coords_dict()))
+    for var_name in _gaussian_var_pairs(forecast):
+      std = forecast[f"{var_name}_std"]
+      dataset[var_name] = std * std
+    return _spatial_average(dataset, region=region, skipna=skipna)
+
+
+@dataclasses.dataclass
+class ThresholdMetric(Metric):
+  """Base class for metrics based on climatological thresholds."""
+
+  thresholds: Sequence[thresholds_lib.Threshold] = ()
+
+  def _map_over_thresholds(
+      self,
+      calculate_score,
+      forecast,
+      truth,
+      region,
+      skipna,
+      spatial_agg,
+  ) -> xds.Dataset:
+    scores = []
+    for threshold in self.thresholds:
+      threshold_ds = threshold.compute(truth)
+      score = calculate_score(forecast, truth, threshold_ds)
+      if spatial_agg:
+        score = _spatial_average(score, region=region, skipna=skipna)
+      scores.append(
+          score.expand_dims({"quantile": [threshold.quantile]})
+      )
+    threshold_method = type(self.thresholds[0]).__name__
+    return xds.concat(scores, dim="quantile").assign_attrs(
+        threshold_method=threshold_method
+    )
+
+
+def _binarize_gt(ds: xds.Dataset, threshold: xds.Dataset) -> xds.Dataset:
+  return (ds > threshold).astype(np.float64)
+
+
+def _compute_gaussian_brier_score(forecast, truth, threshold):
+  """Brier score for a Gaussian forecast distribution."""
+  truth_probability = _binarize_gt(truth, threshold)
+  exceedance = xds.Dataset({}, coords=dict(forecast.coords_dict()))
+  for var_name in _gaussian_var_pairs(forecast):
+    std = forecast[f"{var_name}_std"]
+    norm_threshold = (threshold[var_name] - forecast[var_name]) / std
+    exceedance[var_name] = 1 - _norm_cdf(norm_threshold)
+  return (exceedance - truth_probability) ** 2
+
+
+@dataclasses.dataclass
+class GaussianBrierScore(ThresholdMetric):
+  """Brier score of a Gaussian forecast at climatological thresholds."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        _compute_gaussian_brier_score,
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+
+def _compute_gaussian_ignorance_score(forecast, truth, threshold):
+  """Ignorance (log) score for a Gaussian forecast distribution."""
+  truth_probability = _binarize_gt(truth, threshold)
+  out = xds.Dataset({}, coords=dict(forecast.coords_dict()))
+  for var_name in _gaussian_var_pairs(forecast):
+    std = forecast[f"{var_name}_std"]
+    norm_threshold = (threshold[var_name] - forecast[var_name]) / std
+    cdf_value = _norm_cdf(norm_threshold)
+    out[var_name] = -xds.where(
+        truth_probability[var_name],
+        _log(1 - cdf_value),
+        _log(cdf_value),
+    )
+  return out
+
+
+@dataclasses.dataclass
+class GaussianIgnoranceScore(ThresholdMetric):
+  """Ignorance score of a Gaussian forecast at climatological thresholds."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        _compute_gaussian_ignorance_score,
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+
+def _compute_gaussian_rps_part(forecast, truth, threshold):
+  """One threshold's contribution to Gaussian RPS."""
+  truth_ecdf = (truth < threshold).astype(np.float64)
+  cdf_values = xds.Dataset({}, coords=dict(forecast.coords_dict()))
+  for var_name in _gaussian_var_pairs(forecast):
+    std = forecast[f"{var_name}_std"]
+    norm_threshold = (threshold[var_name] - forecast[var_name]) / std
+    cdf_values[var_name] = _norm_cdf(norm_threshold)
+  return (cdf_values - truth_ecdf) ** 2
+
+
+@dataclasses.dataclass
+class GaussianRPS(ThresholdMetric):
+  """Ranked probability score of a Gaussian forecast over thresholds."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        _compute_gaussian_rps_part,
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    ).sum("quantile")
+
+
+@dataclasses.dataclass
+class EnsembleStddevSqrtBeforeTimeAvg(EnsembleMetric):
+  """Area-averaged L2 norm of the ensemble standard deviation."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del truth
+    n_ensemble = _get_n_ensemble(forecast, self.ensemble_dim)
+    if n_ensemble == 1:
+      return xds.zeros_like(
+          _spatial_average(forecast, region=region, skipna=skipna).mean(
+              self.ensemble_dim, skipna=skipna
+          )
+      )
+    return _spatial_average_l2_norm(
+        forecast.std(self.ensemble_dim, ddof=1, skipna=skipna),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class EnsembleVariance(EnsembleMetric):
+  """The variance of an ensemble of forecasts."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del truth
+    n_ensemble = _get_n_ensemble(forecast, self.ensemble_dim)
+    if n_ensemble == 1:
+      return xds.zeros_like(
+          _spatial_average(forecast, region=region, skipna=skipna).mean(
+              self.ensemble_dim, skipna=skipna
+          )
+      )
+    return _spatial_average(
+        forecast.var(self.ensemble_dim, ddof=1, skipna=skipna),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class SpatialEnsembleVariance(EnsembleMetric):
+  """Ensemble variance without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    del truth
+    n_ensemble = _get_n_ensemble(forecast, self.ensemble_dim)
+    if n_ensemble == 1:
+      return xds.zeros_like(forecast).mean(self.ensemble_dim, skipna=skipna)
+    return forecast.var(self.ensemble_dim, ddof=1, skipna=skipna)
+
+
+@dataclasses.dataclass
+class EnsembleMeanRMSESqrtBeforeTimeAvg(EnsembleMetric):
+  """RMSE between the ensemble mean and ground truth (sqrt before t-avg)."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    _get_n_ensemble(forecast, self.ensemble_dim)
+    return _spatial_average_l2_norm(
+        truth - forecast.mean(self.ensemble_dim, skipna=skipna),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class EnsembleMeanMSE(EnsembleMetric):
+  """MSE between the ensemble mean and ground truth (bias σ²/n)."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    _get_n_ensemble(forecast, self.ensemble_dim)
+    return _spatial_average(
+        (truth - forecast.mean(self.ensemble_dim, skipna=skipna)) ** 2,
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class DebiasedEnsembleMeanMSE(EnsembleMetric):
+  """Unbiased MSE between ensemble mean and truth (requires n > 1)."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    _get_n_ensemble(forecast, self.ensemble_dim)
+    return _spatial_average(
+        _debiased_ensemble_mean_mse(
+            forecast, truth, self.ensemble_dim, skipna=skipna
+        ),
+        region=region,
+        skipna=skipna,
+    )
+
+
+@dataclasses.dataclass
+class SpatialEnsembleMeanMSE(EnsembleMetric):
+  """EnsembleMeanMSE without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    _get_n_ensemble(forecast, self.ensemble_dim)
+    return (truth - forecast.mean(self.ensemble_dim, skipna=skipna)) ** 2
+
+
+@dataclasses.dataclass
+class DebiasedSpatialEnsembleMeanMSE(EnsembleMetric):
+  """DebiasedEnsembleMeanMSE without spatial averaging."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    _get_n_ensemble(forecast, self.ensemble_dim)
+    return _debiased_ensemble_mean_mse(
+        forecast, truth, self.ensemble_dim, skipna=skipna
+    )
+
+
+@dataclasses.dataclass
+class EnergyScore(EnsembleMetric):
+  """Energy score E‖X-Y‖ - 0.5 E‖X-X'‖ with adjacent-difference spread."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return EnergyScoreSkill(self.ensemble_dim).compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    ) - 0.5 * EnergyScoreSpread(self.ensemble_dim).compute_chunk(
+        forecast, truth, region=region, skipna=skipna
+    )
+
+
+@dataclasses.dataclass
+class EnergyScoreSpread(EnsembleMetric):
+  """Energy score spread, E‖X - X'‖, via N-1 adjacent differences."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    n_ensemble = _get_n_ensemble(forecast, self.ensemble_dim)
+    if n_ensemble == 1:
+      return xds.zeros_like(
+          _spatial_average(forecast, region=region, skipna=skipna).mean(
+              self.ensemble_dim, skipna=skipna
+          )
+      )
+    return _spatial_average_l2_norm(
+        self._ensemble_slice(forecast, slice(None, -1))
+        - self._ensemble_slice(forecast, slice(1, None)),
+        region=region,
+        skipna=skipna,
+    ).mean(self.ensemble_dim, skipna=skipna)
+
+
+@dataclasses.dataclass
+class EnergyScoreSkill(EnsembleMetric):
+  """Energy score skill, E‖X - Y‖."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    _get_n_ensemble(forecast, self.ensemble_dim)
+    return _spatial_average_l2_norm(
+        forecast - truth, region=region, skipna=skipna
+    ).mean(self.ensemble_dim, skipna=skipna)
+
+
+def _isnull_ds(ds: xds.Dataset) -> xds.Dataset:
+  return ds.isnull()
+
+
+def _compute_brier_score(
+    forecast, truth, threshold, ensemble_dim, debias, skipna
+):
+  """Brier score of an ensemble forecast for one threshold."""
+  truth_probability = xds.where(
+      truth.isnull(), np.nan, _binarize_gt(truth, threshold)
+  )
+  forecast_probability = xds.where(
+      forecast.isnull(), np.nan, _binarize_gt(forecast, threshold)
+  )
+  if debias:
+    return _debiased_ensemble_mean_mse(
+        forecast_probability, truth_probability, ensemble_dim, skipna=skipna
+    )
+  return (
+      forecast_probability.mean(ensemble_dim, skipna=skipna)
+      - truth_probability
+  ) ** 2
+
+
+@dataclasses.dataclass
+class EnsembleBrierScore(EnsembleMetric, ThresholdMetric):
+  """Brier score of an ensemble forecast at climatological thresholds."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_brier_score,
+            ensemble_dim=self.ensemble_dim,
+            debias=False,
+            skipna=skipna,
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+
+@dataclasses.dataclass
+class SpatialEnsembleBrierScore(EnsembleMetric, ThresholdMetric):
+  """Spatial map of ensemble Brier score."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_brier_score,
+            ensemble_dim=self.ensemble_dim,
+            debias=False,
+            skipna=skipna,
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=False,
+    )
+
+
+@dataclasses.dataclass
+class DebiasedEnsembleBrierScore(EnsembleMetric, ThresholdMetric):
+  """Debiased ensemble Brier score (requires n > 1)."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_brier_score,
+            ensemble_dim=self.ensemble_dim,
+            debias=True,
+            skipna=skipna,
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+
+@dataclasses.dataclass
+class SpatialDebiasedEnsembleBrierScore(EnsembleMetric, ThresholdMetric):
+  """Spatial map of debiased ensemble Brier score."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_brier_score,
+            ensemble_dim=self.ensemble_dim,
+            debias=True,
+            skipna=skipna,
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=False,
+    )
+
+
+def _compute_ignorance_score(forecast, truth, threshold, ensemble_dim,
+                             skipna):
+  """Ignorance score of an ensemble forecast for one threshold."""
+  truth_probability = _binarize_gt(truth, threshold)
+  forecast_probability = _binarize_gt(forecast, threshold)
+  ensemble_forecast_probability = forecast_probability.mean(
+      ensemble_dim, skipna=skipna
+  )
+  return -xds.where(
+      truth_probability,
+      _log(ensemble_forecast_probability),
+      _log(1 - ensemble_forecast_probability),
+  )
+
+
+@dataclasses.dataclass
+class EnsembleIgnoranceScore(EnsembleMetric, ThresholdMetric):
+  """Ignorance score of an ensemble forecast at climatological thresholds."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_ignorance_score,
+            ensemble_dim=self.ensemble_dim,
+            skipna=skipna,
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+
+@dataclasses.dataclass
+class SpatialEnsembleIgnoranceScore(EnsembleMetric, ThresholdMetric):
+  """Spatial map of ensemble ignorance score."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_ignorance_score,
+            ensemble_dim=self.ensemble_dim,
+            skipna=skipna,
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=False,
+    )
+
+
+def _compute_rps_part(forecast, truth, threshold, ensemble_dim, skipna):
+  """One threshold's contribution to ensemble RPS."""
+  truth_ecdf = (truth < threshold).astype(np.float64)
+  forecast_ecdf = (forecast < threshold).astype(np.float64)
+  ensemble_forecast_ecdf = forecast_ecdf.mean(ensemble_dim, skipna=skipna)
+  return (ensemble_forecast_ecdf - truth_ecdf) ** 2
+
+
+@dataclasses.dataclass
+class EnsembleRPS(EnsembleMetric, ThresholdMetric):
+  """Ranked probability score of an ensemble forecast over thresholds."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_rps_part, ensemble_dim=self.ensemble_dim, skipna=skipna
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    ).sum("quantile")
+
+
+@dataclasses.dataclass
+class SpatialEnsembleRPS(EnsembleMetric, ThresholdMetric):
+  """Spatial map of ensemble RPS."""
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self._map_over_thresholds(
+        functools.partial(
+            _compute_rps_part, ensemble_dim=self.ensemble_dim, skipna=skipna
+        ),
+        forecast, truth, region=region, skipna=skipna, spatial_agg=False,
+    ).sum("quantile")
+
+
+class RankHistogram(EnsembleMetric):
+  """Histogram of truth's rank with respect to forecast ensemble members.
+
+  One-hot encoding over K+1 bins (optionally aggregated into num_bins that
+  evenly divide K+1), with random tie breaking (reference
+  metrics.py:1895-2042).  NaNs are treated as larger than any value.
+  """
+
+  def __init__(
+      self,
+      ensemble_dim: str = REALIZATION,
+      num_bins: t.Optional[int] = None,
+      break_ties_randomly: bool = True,
+      seed: t.Optional[int] = None,
+  ):
+    super().__init__(ensemble_dim=ensemble_dim)
+    self.num_bins = num_bins
+    self._break_ties_randomly = break_ties_randomly
+    self._seed = seed
+
+  def _num_bins_actual(self, ensemble_size: int) -> int:
+    default_n_bins = ensemble_size + 1
+    if self.num_bins is None:
+      return default_n_bins
+    if default_n_bins % self.num_bins:
+      raise ValueError(
+          f"Cannot bin data with {ensemble_size=} into {self.num_bins} bins"
+      )
+    return self.num_bins
+
+  def _perturb_by_min_ensemble_diff(self, values: np.ndarray,
+                                    axis: int) -> np.ndarray:
+    """Perturb values by half the minimum nonzero diff along axis."""
+    if values.shape[axis] < 2:
+      return values
+    diffs = np.diff(np.sort(values, axis=axis), axis=axis)
+    diffs_zero_replaced_by_inf = np.where(diffs == 0, np.inf, diffs)
+    min_diff = diffs_zero_replaced_by_inf.min(axis=axis, keepdims=True)
+    perturbation_size = np.where(min_diff < np.inf, min_diff / 2, 1)
+    perturbation = np.random.default_rng(self._seed).uniform(
+        size=values.shape,
+        low=-perturbation_size / 2,
+        high=perturbation_size / 2,
+    )
+    return values + perturbation
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    ensemble_size = forecast.sizes[self.ensemble_dim]
+    num_bins = self._num_bins_actual(ensemble_size)
+    default_n_bins = ensemble_size + 1
+    reduction_factor = default_n_bins // num_bins
+
+    out = xds.Dataset({}, coords={
+        k: v
+        for k, v in forecast.coords_dict().items()
+        if self.ensemble_dim not in v.dims
+    })
+    for name in truth.keys():
+      fda = forecast[name]
+      tda = truth[name]
+      ax = fda.dims.index(self.ensemble_dim)
+      fvals = np.asarray(fda.values, dtype=np.float64)
+      # broadcast truth to forecast dims minus ensemble
+      t_b = tda.variable.broadcast_to_dims(
+          tuple(d for d in fda.dims if d != self.ensemble_dim),
+          {d: s for d, s in fda.sizes.items() if d != self.ensemble_dim},
+      )
+      tvals = np.asarray(xds.core._to_numpy(t_b.data), dtype=np.float64)
+      combined = np.concatenate(
+          [np.expand_dims(tvals, ax), fvals], axis=ax
+      )
+      if self._break_ties_randomly:
+        combined = self._perturb_by_min_ensemble_diff(combined, ax)
+      order = np.argsort(combined, axis=ax)
+      ranks = np.argmin(order, axis=ax)
+      ranks = ranks // reduction_factor
+      one_hot = np.eye(num_bins)[ranks]  # appends bins axis at the end
+      dims = tuple(d for d in fda.dims if d != self.ensemble_dim) + ("bins",)
+      out[name] = xds.DataArray(
+          one_hot, dims=dims,
+          coords={"bins": np.arange(num_bins)},
+      )
+    out = out.assign_coords(bins=np.arange(num_bins))
+    return out
+
+
+def central_reliability(hist: xds.Dataset) -> xds.Dataset:
+  """Reliability diagram for central rank-histogram probabilities."""
+  n_bins = hist.sizes["bins"]
+  if n_bins < 3:
+    raise ValueError(f"Too few bins. {n_bins=} but should be >= 3")
+
+  left = hist.isel(bins=np.arange(n_bins // 2)[::-1])  # reversed: inside-out
+  right = hist.isel(bins=np.arange(n_bins // 2 + n_bins % 2, n_bins))
+  linear_bins = np.arange(n_bins // 2)
+  left = left.assign_coords(bins=linear_bins)
+  right = right.assign_coords(bins=linear_bins)
+  probs = (left + right).cumsum("bins").rename({"bins": "prob_index"})
+
+  desired_prob_unnormalized = np.ones((n_bins // 2,))
+
+  if n_bins % 2:
+    probs = probs.assign_coords(prob_index=linear_bins + 1)
+    center_prob = hist.isel(bins=n_bins // 2, drop=True)
+    probs = xds.concat(
+        [center_prob.expand_dims(prob_index=[0]), center_prob + probs],
+        dim="prob_index",
+    )
+    desired_prob_unnormalized = np.concatenate(
+        ([0.5], desired_prob_unnormalized)
+    )
+  else:
+    probs = probs.assign_coords(prob_index=np.arange(n_bins // 2))
+
+  desired_prob_unnormalized = np.cumsum(desired_prob_unnormalized)
+  desired = desired_prob_unnormalized / desired_prob_unnormalized[-1]
+  probs = probs.assign_coords(
+      desired_prob=xds.Variable(("prob_index",), desired)
+  )
+  return probs.swap_dims({"prob_index": "desired_prob"})

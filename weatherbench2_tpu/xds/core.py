@@ -692,6 +692,96 @@ class DataArray:
     }
     return DataArray(Variable(self.dims, data), coords=coords, name=self.name)
 
+  def differentiate(self, dim):
+    """Central differences with respect to the dim's coordinate values.
+
+    Matches numpy.gradient / xarray.differentiate (edge_order=1), including
+    non-uniform spacing (e.g. pressure levels).
+    """
+    xp = _xp(self.data)
+    ax = self.dims.index(dim)
+    x = _to_numpy(self.coords[dim].data).astype(np.float64)
+    f = self.data
+    n = f.shape[ax]
+    if n < 2:
+      raise ValueError("differentiate needs at least 2 points")
+
+    def sl(i):
+      key = [slice(None)] * f.ndim
+      key[ax] = i
+      return tuple(key)
+
+    shape = [1] * f.ndim
+    h = np.diff(x)
+    # interior: nonuniform central difference
+    hd = h[1:]
+    hs = h[:-1]
+    def bcast(a):
+      s = list(shape)
+      s[ax] = len(a)
+      return a.reshape(s)
+
+    interior = (
+        f[sl(slice(2, None))] * bcast(hs / (hd * (hd + hs)))
+        + f[sl(slice(1, -1))] * bcast((hd - hs) / (hd * hs))
+        - f[sl(slice(None, -2))] * bcast(hd / (hs * (hd + hs)))
+    )
+    first = (f[sl(slice(1, 2))] - f[sl(slice(0, 1))]) / h[0]
+    last = (f[sl(slice(-1, None))] - f[sl(slice(-2, -1))]) / h[-1]
+    data = xp.concatenate([first, interior, last], axis=ax)
+    return self.copy(data=data)
+
+  def integrate(self, dim):
+    """Trapezoidal integration over the dim's coordinate values."""
+    xp = _xp(self.data)
+    ax = self.dims.index(dim)
+    x = _to_numpy(self.coords[dim].data).astype(np.float64)
+    f = self.data
+
+    def sl(i):
+      key = [slice(None)] * f.ndim
+      key[ax] = i
+      return tuple(key)
+
+    dx = np.diff(x)
+    shape = [1] * f.ndim
+    shape[ax] = len(dx)
+    dxb = dx.reshape(shape)
+    data = (0.5 * (f[sl(slice(1, None))] + f[sl(slice(None, -1))]) * dxb).sum(
+        axis=ax
+    )
+    dims = tuple(d for d in self.dims if d != dim)
+    coords = {
+        k: v for k, v in self.coords.items() if dim not in v.dims
+    }
+    return DataArray(Variable(dims, data), coords=coords, name=self.name)
+
+  def rolling_sum(self, dim, window):
+    """Trailing rolling-window sum; first window-1 entries are NaN.
+
+    NaNs propagate within a window (matches xarray rolling().sum() with
+    min_periods=window and no skipna).
+    """
+    xp = _xp(self.data)
+    ax = self.dims.index(dim)
+    f = self.data
+    n = f.shape[ax]
+    if window > n:
+      return self.copy(data=xp.full_like(f, np.nan))
+    acc = f
+    for k in range(1, window):
+      key = [slice(None)] * f.ndim
+      key[ax] = slice(None, n - k)
+      pad_key = [slice(None)] * f.ndim
+      pad_key[ax] = slice(k, None)
+      shifted_part = f[tuple(key)]
+      pad_shape = list(f.shape)
+      pad_shape[ax] = k
+      nanpad = xp.full(pad_shape, np.nan, dtype=f.dtype)
+      shifted = xp.concatenate([nanpad, shifted_part], axis=ax)
+      acc = acc + shifted
+    return self.copy(data=acc)
+
   def sortby(self, dim):
     idx = np.argsort(_to_numpy(self.coords[dim].data))
     return self.isel({dim: idx})

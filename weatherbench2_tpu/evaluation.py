@@ -1,0 +1,622 @@
+"""Evaluation engine: open data, run metric×region loops, save results.
+
+Mirrors the orchestration of the reference's weatherbench2/evaluation.py
+(open_forecast_and_truth_datasets / evaluate_in_memory at evaluation.py:296,
+486), with the Beam pipeline (evaluation.py:555-828) replaced by a
+TPU-native streaming engine (weatherbench2_tpu.parallel.streaming):
+chunks of (init_)time stream into HBM, one jit-compiled fused program per
+eval config evaluates every metric×region, and running (sum, count)
+accumulators on device replace the xbeam.Mean shuffle.
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import logging
+import os
+import os.path
+from typing import Any, Mapping, Optional, Union
+
+import numpy as np
+
+from weatherbench2_tpu import config
+from weatherbench2_tpu import schema
+from weatherbench2_tpu import utils
+from weatherbench2_tpu import xds
+
+# pylint: disable=logging-fstring-interpolation
+
+
+def make_latitude_increasing(dataset: xds.Dataset) -> xds.Dataset:
+  """Make sure latitude values are increasing. Flip dataset if necessary."""
+  lat = np.asarray(dataset.coords_dict()["latitude"].data)
+  if (np.diff(lat) < 0).all():
+    dataset = dataset.isel(latitude=np.arange(len(lat))[::-1])
+  return dataset
+
+
+def _ensure_aligned_grid(
+    dataset: xds.Dataset,
+    target: xds.Dataset,
+    atol: float = 1e-3,
+) -> xds.Dataset:
+  """Ensure horizontal coordinates on dataset exactly match target."""
+  for coord_name in ["latitude", "longitude"]:
+    np.testing.assert_allclose(
+        np.asarray(dataset.coords_dict()[coord_name].data),
+        np.asarray(target.coords_dict()[coord_name].data),
+        atol=atol,
+    )
+  return dataset.assign_coords(
+      latitude=target.coords_dict()["latitude"],
+      longitude=target.coords_dict()["longitude"],
+  )
+
+
+def _ensure_nonempty(dataset: xds.Dataset, message: str = "") -> None:
+  if not min(dataset.sizes.values()):
+    raise ValueError(f"`dataset` was empty: {dataset.sizes=}. {message}")
+
+
+def _decode_pressure_level_suffixes(forecast: xds.Dataset) -> xds.Dataset:
+  """Decode forecast with pressure-level-suffixed names into a level dim."""
+  by_var: dict[str, list[tuple[int, str]]] = {}
+  passthrough = {}
+  for var in forecast.keys():
+    if var.split("_")[-1].isdigit():
+      base = "_".join(var.split("_")[:-1])
+      by_var.setdefault(base, []).append((int(var.split("_")[-1]), var))
+    else:
+      passthrough[var] = forecast.variables_dict()[var]
+  out = xds.Dataset(passthrough, coords=dict(forecast.coords_dict()),
+                    attrs=forecast.attrs)
+  for base, entries in by_var.items():
+    entries.sort()
+    levels = [lev for lev, _ in entries]
+    das = [
+        forecast[name].expand_dims(level=[lev]) for lev, name in entries
+    ]
+    out[base] = xds.concat(das, "level")
+  return out
+
+
+def open_source_files(
+    forecast_path: str,
+    obs_path: str,
+    by_init: bool = False,
+    use_dask: bool = False,
+    rename_variables: Optional[dict] = None,
+    pressure_level_suffixes: bool = False,
+) -> tuple[xds.Dataset, xds.Dataset]:
+  """Open forecast and obs Zarr stores and standardize them."""
+  del use_dask  # no lazy layer: arrays are host-resident or streamed
+  obs = xds.open_zarr(obs_path)
+  forecast = xds.open_zarr(forecast_path)
+
+  if pressure_level_suffixes:
+    forecast = _decode_pressure_level_suffixes(forecast)
+  if rename_variables is not None:
+    forecast = forecast.rename(rename_variables)
+
+  obs = make_latitude_increasing(obs)
+  forecast = make_latitude_increasing(forecast)
+  forecast = _ensure_aligned_grid(forecast, obs)
+  forecast = schema.apply_time_conventions(forecast, by_init=by_init)
+
+  _ensure_nonempty(obs)
+  _ensure_nonempty(forecast)
+  return forecast, obs
+
+
+def _impose_data_selection(
+    dataset: xds.Dataset,
+    selection: config.Selection,
+    select_time: bool = True,
+    time_dim: Optional[str] = None,
+    select_aux: bool = False,
+) -> xds.Dataset:
+  """Apply a Selection to a dataset."""
+  if select_aux and selection.aux_variables is not None:
+    sel_variables = list(
+        dict.fromkeys(
+            list(selection.variables) + list(selection.aux_variables)
+        )
+    )
+  else:
+    sel_variables = [
+        v for v in selection.variables if v in dataset
+    ] or list(selection.variables)
+  dataset = dataset[[v for v in sel_variables if v in dataset]]
+  dataset = dataset.sel(
+      latitude=selection.lat_slice, longitude=selection.lon_slice
+  )
+  if selection.levels is not None and "level" in dataset.sizes:
+    dataset = dataset.sel(level=list(selection.levels))
+  if select_time:
+    dataset = dataset.sel({time_dim: selection.time_slice})
+  _ensure_nonempty(dataset, message="Selection created empty dataset")
+  return dataset
+
+
+def create_persistence_forecast(
+    forecast: xds.Dataset, obs: xds.Dataset
+) -> xds.Dataset:
+  """Persistence forecast: observation at init time, shaped like forecast."""
+  logging.warning("by-valid with evaluate_persistence is not 100% correct.")
+  init_time = forecast["init_time"]  # dims (time, lead_time)
+  time_vals = np.asarray(init_time.coords["time"].data)
+  lead_max = np.asarray(forecast.coords_dict()["lead_time"].data).max()
+  start = time_vals[0] + lead_max
+  keep = np.nonzero(time_vals >= start)[0]
+  init_time = init_time.isel(time=keep)
+  indexer = init_time.rename_dims({"time": "valid_time_dim"})
+  persistence = obs.sel(time=indexer)
+  persistence = persistence.rename({"valid_time_dim": "time"})
+  # drop the stale gathered 'time' coord and restore the index coord
+  persistence = xds.Dataset(
+      dict(persistence.variables_dict()),
+      coords={
+          **{k: v for k, v in persistence.coords_dict().items()
+             if k != "time"},
+          "time": time_vals[keep],
+      },
+  )
+  return persistence
+
+
+def _unique_step_size(data: np.ndarray) -> Any:
+  """Ensure all steps are the same and return it."""
+  if data.ndim != 1:
+    raise ValueError(f"array has wrong number of dimensions: {data.ndim}")
+  if len(data) < 2:
+    raise ValueError(f"{len(data)=} too small to determine step size")
+  uniques = np.unique(np.diff(data))
+  if uniques.size != 1:
+    raise ValueError(f"too many unique values: {uniques}")
+  return uniques[0]
+
+
+def _ensure_consistent_time_step_sizes(
+    truth: xds.Dataset, forecast: xds.Dataset
+) -> tuple[xds.Dataset, xds.Dataset]:
+  """Thin truth or forecast so their time steps agree."""
+  truth_time_step = _unique_step_size(
+      np.asarray(truth.coords_dict()["time"].data)
+  )
+  forecast_time_step = _unique_step_size(
+      np.asarray(forecast.coords_dict()["time"].data)
+  )
+  if truth_time_step > forecast_time_step:
+    multiple, remainder = divmod(truth_time_step, forecast_time_step)
+    if remainder:
+      raise ValueError(
+          "truth time step not a multiple of forecast time step: "
+          f"{truth_time_step} vs {forecast_time_step}"
+      )
+    forecast = forecast.thin(time=int(multiple))
+  elif truth_time_step < forecast_time_step:
+    multiple, remainder = divmod(forecast_time_step, truth_time_step)
+    if remainder:
+      raise ValueError(
+          "forecast time step not a multiple of truth time step: "
+          f"{forecast_time_step} vs {truth_time_step}"
+      )
+    truth = truth.thin(time=int(multiple))
+  return truth, forecast
+
+
+def _add_base_variables(
+    data_config: config.Data, eval_config: config.Eval
+) -> config.Data:
+  """Add base variables required by derived variables to the selection."""
+  data_config = copy.deepcopy(data_config)
+  for derived_variable in eval_config.derived_variables.values():
+    data_config.selection.variables = list(
+        set(data_config.selection.variables).union(
+            derived_variable.base_variables
+        )
+    )
+  return data_config
+
+
+def _select_analysis_init_time(
+    forecast: xds.Dataset, forecast_all_times: xds.Dataset
+):
+  """Select forecast/analysis pairings for the init-time convention."""
+  analysis = forecast_all_times.sel(
+      lead_time=np.timedelta64(0, "ns"), drop=True
+  )
+  analysis = analysis.rename({"init_time": "time"})
+
+  time_vals = np.asarray(analysis.coords_dict()["time"].data)
+  init_interval = np.unique(np.diff(time_vals))
+  if init_interval.size != 1:
+    raise ValueError(f"Not all init_time intervals are equal: {init_interval}")
+  init_interval = init_interval[0]
+
+  lead_vals = np.asarray(forecast.coords_dict()["lead_time"].data)
+  lead_interval = np.unique(np.diff(lead_vals))
+  assert lead_interval.size == 1, "Not all lead_time intervals are equal."
+  lead_interval = lead_interval[0]
+
+  assert init_interval >= lead_interval, (
+      "Initialization interval cannot be less than lead_time interval."
+  )
+  lead_per_init = float(init_interval / lead_interval)
+  assert lead_per_init.is_integer(), "Init must be multiple of lead."
+  lead_per_init = int(lead_per_init)
+
+  valid_max = np.asarray(forecast.coords_dict()["valid_time"].data).max()
+  assert time_vals.max() >= valid_max, (
+      "Analysis does not extend to latest forecast init+lead"
+  )
+  forecast = forecast.isel(lead_time=slice(None, None, lead_per_init))
+  return forecast, analysis
+
+
+def open_forecast_and_truth_datasets(
+    data_config: config.Data,
+    eval_config: config.Eval,
+    use_dask: bool = False,
+) -> tuple[xds.Dataset, xds.Dataset, Union[xds.Dataset, None]]:
+  """Open datasets and select desired slices."""
+  data_config = _add_base_variables(data_config, eval_config)
+
+  logging.info("Loading data")
+  forecast, obs = open_source_files(
+      forecast_path=data_config.paths.forecast,
+      obs_path=data_config.paths.obs,
+      by_init=data_config.by_init,
+      use_dask=use_dask,
+      rename_variables=data_config.rename_variables,
+      pressure_level_suffixes=data_config.pressure_level_suffixes,
+  )
+
+  forecast_all_times = _impose_data_selection(
+      forecast, data_config.selection, select_time=False, select_aux=True
+  )
+
+  if data_config.by_init:
+    obs = _impose_data_selection(
+        obs, data_config.selection, select_time=False
+    )
+  else:
+    obs = _impose_data_selection(
+        obs, data_config.selection, time_dim="time"
+    )
+  forecast = _impose_data_selection(
+      forecast,
+      data_config.selection,
+      time_dim="init_time" if data_config.by_init else "time",
+      select_aux=True,
+  )
+
+  if eval_config.against_analysis:
+    eval_truth = forecast.sel(lead_time=np.timedelta64(0, "ns"), drop=True)
+    if data_config.by_init:
+      forecast, eval_truth = _select_analysis_init_time(
+          forecast, forecast_all_times
+      )
+  else:
+    eval_truth = obs
+
+  if not data_config.by_init:
+    eval_truth, forecast = _ensure_consistent_time_step_sizes(
+        eval_truth, forecast
+    )
+
+  if eval_config.evaluate_climatology:
+    climatology = xds.open_zarr(data_config.paths.climatology)
+    climatology = make_latitude_increasing(climatology)
+  else:
+    climatology = None
+
+  return forecast, eval_truth, climatology
+
+
+def _get_output_path(
+    data_config: config.Data, eval_name: str, output_format: str
+) -> str:
+  if output_format == "netcdf":
+    suffix = "nc"
+  elif output_format == "zarr":
+    suffix = "zarr"
+  else:
+    raise ValueError(f"unrecognized data format: {output_format}")
+  return os.path.join(
+      data_config.paths.output_dir,
+      f"{data_config.paths.output_file_prefix}{eval_name}.{suffix}",
+  )
+
+
+def _to_netcdf(dataset: xds.Dataset, filename: str) -> None:
+  os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+  xds.to_netcdf(dataset, filename)
+
+
+def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
+  """Combine per-metric result datasets into one (metric, ...) dataset.
+
+  Variables missing for some metrics are NaN-filled; variables whose dims
+  differ across metrics (e.g. a quantile dim) are broadcast to the union.
+  """
+  metric_names = []
+  for ds in results:
+    metric_names.extend(
+        np.atleast_1d(np.asarray(ds.coords_dict()[dim].data)).tolist()
+    )
+
+  var_names: list = []
+  for ds in results:
+    for k in ds.keys():
+      if k not in var_names:
+        var_names.append(k)
+
+  out = xds.Dataset({}, coords={dim: np.asarray(metric_names, dtype=object)})
+  coord_pool: dict = {}
+  for ds in results:
+    for cn, cv in ds.coords_dict().items():
+      if cn != dim and cn not in coord_pool:
+        coord_pool[cn] = cv
+
+  for var in var_names:
+    # union dims (excluding metric) in first-appearance order
+    union_dims: list = []
+    sizes: dict = {}
+    holders = []
+    for ds in results:
+      if var not in ds:
+        holders.append((ds, None))
+        continue
+      da = ds[var]
+      holders.append((ds, da))
+      for d in da.dims:
+        if d == dim:
+          continue
+        if d not in union_dims:
+          union_dims.append(d)
+          sizes[d] = da.sizes[d]
+    full_shape = tuple(sizes[d] for d in union_dims)
+    pieces = []
+    for ds, da in holders:
+      n_metric = len(
+          np.atleast_1d(np.asarray(ds.coords_dict()[dim].data))
+      )
+      if da is None:
+        pieces.append(np.full((n_metric,) + full_shape, np.nan))
+        continue
+      if dim in da.dims:
+        da = da.transpose(*( [dim] + [d for d in da.dims if d != dim] ))
+        vals = np.asarray(xds.core._to_numpy(da.data), dtype=np.float64)
+      else:
+        vals = np.asarray(da.values, dtype=np.float64)[None]
+      # broadcast up to union dims
+      v = xds.Variable((dim,) + tuple(d for d in da.dims if d != dim),
+                       vals)
+      v = v.broadcast_to_dims((dim,) + tuple(union_dims),
+                              {dim: n_metric, **sizes})
+      pieces.append(np.asarray(v.data))
+    data = np.concatenate(pieces, axis=0)
+    coords = {dim: np.asarray(metric_names, dtype=object)}
+    for d in union_dims:
+      if d in coord_pool:
+        coords[d] = coord_pool[d]
+    for cn, cv in coord_pool.items():
+      if cv.dims and set(cv.dims) <= set(union_dims):
+        coords[cn] = cv
+    out[var] = xds.DataArray(
+        data, dims=(dim,) + tuple(union_dims), coords=coords
+    )
+  for cn, cv in coord_pool.items():
+    if cn not in out.coords_dict() and (
+        not cv.dims or set(cv.dims) <= set(out.sizes)
+    ):
+      out = out.assign_coords({cn: cv})
+  return out
+
+
+def _metric_and_region_loop(
+    forecast: xds.Dataset,
+    truth: xds.Dataset,
+    eval_config: config.Eval,
+    skipna: bool,
+    compute_chunk: bool = False,
+) -> xds.Dataset:
+  """Compute metric results looping over metrics and regions."""
+  logging.info("Starting _metric_and_region_loop")
+  for name, dv in eval_config.derived_variables.items():
+    logging.info(f"derived_variable {name!r}: {dv}")
+    forecast[name] = dv.compute(forecast)
+    truth[name] = dv.compute(truth)
+
+  results = []
+  for name, metric in eval_config.metrics.items():
+    logging.info(f"metric: {name}")
+    if compute_chunk or not eval_config.temporal_mean:
+      eval_fn = metric.compute_chunk
+    else:
+      eval_fn = metric.compute
+    if eval_config.regions is not None:
+      tmp_results = []
+      for region_name, region in eval_config.regions.items():
+        tmp_result = eval_fn(
+            forecast=forecast, truth=truth, region=region, skipna=skipna
+        )
+        tmp_result = tmp_result.expand_dims(
+            region=np.asarray([region_name], dtype=object)
+        )
+        tmp_results.append(tmp_result)
+      result = xds.concat(tmp_results, "region")
+    else:
+      result = eval_fn(forecast=forecast, truth=truth, skipna=skipna)
+    result = result.expand_dims(metric=np.asarray([name], dtype=object))
+    results.append(result)
+    logging.info(f"metric done: {name}")
+  return merge_metric_results(results)
+
+
+def _build_baseline_forecast(
+    forecast: xds.Dataset,
+    truth: xds.Dataset,
+    climatology: Optional[xds.Dataset],
+    eval_config: config.Eval,
+    data_config: config.Data,
+) -> xds.Dataset:
+  """Replace the forecast with climatology/persistence baselines if asked."""
+  if eval_config.evaluate_climatology:
+    time_dim = "valid_time" if data_config.by_init else "time"
+    names = list(forecast.keys())
+    sel = dict(dayofyear=forecast[time_dim].dt.dayofyear)
+    if "hour" in climatology.sizes:
+      sel["hour"] = forecast[time_dim].dt.hour
+    clim = climatology
+    missing = [n for n in names if n not in clim]
+    if missing:
+      rename = {n + "_mean": n for n in names if n + "_mean" in clim}
+      clim = clim[list(rename.keys())].rename(rename)
+    else:
+      clim = clim[names]
+    new_forecast = clim.sel(sel)
+    # keep forecast coords (valid_time etc.)
+    for cn, cv in forecast.coords_dict().items():
+      if cn not in new_forecast.coords_dict():
+        new_forecast = new_forecast.assign_coords({cn: cv})
+    return new_forecast
+  if eval_config.evaluate_probabilistic_climatology:
+    probabilistic_climatology = utils.make_probabilistic_climatology(
+        truth,
+        eval_config.probabilistic_climatology_start_year,
+        eval_config.probabilistic_climatology_end_year,
+        eval_config.probabilistic_climatology_hour_interval,
+    )
+    time_dim = "valid_time" if data_config.by_init else "time"
+    names = list(forecast.keys())
+    sel = dict(dayofyear=forecast[time_dim].dt.dayofyear)
+    if "hour" in probabilistic_climatology.sizes:
+      sel["hour"] = forecast[time_dim].dt.hour
+    new_forecast = probabilistic_climatology[names].sel(sel)
+    new_forecast = new_forecast.rename({"number": "realization"})
+    for cn, cv in forecast.coords_dict().items():
+      if cn not in new_forecast.coords_dict():
+        new_forecast = new_forecast.assign_coords({cn: cv})
+    return new_forecast
+  if eval_config.evaluate_persistence:
+    if data_config.by_init:
+      return create_persistence_forecast_by_init(forecast, truth)
+    return create_persistence_forecast(forecast, truth)
+  return forecast
+
+
+def create_persistence_forecast_by_init(
+    forecast: xds.Dataset, truth: xds.Dataset
+) -> xds.Dataset:
+  """Persistence for by-init data: truth at init_time, tiled over lead.
+
+  Mirrors the reference's per-chunk construction
+  (evaluation.py:651-675 `_persistence_like_forecast_chunk`).
+  """
+  init_vals = np.asarray(forecast.coords_dict()["init_time"].data)
+  persistence = truth.sel(time=init_vals)
+  persistence = persistence.rename({"time": "init_time"})
+  lead = np.asarray(forecast.coords_dict()["lead_time"].data)
+  persistence = persistence.expand_dims(lead_time=lead)
+  for cn, cv in forecast.coords_dict().items():
+    if cn not in persistence.coords_dict():
+      persistence = persistence.assign_coords({cn: cv})
+  return persistence
+
+
+def _evaluate_all_metrics(
+    eval_name: str,
+    eval_config: config.Eval,
+    data_config: config.Data,
+    skipna: bool,
+) -> None:
+  """Evaluate a set of eval metrics in memory."""
+  forecast, truth, climatology = open_forecast_and_truth_datasets(
+      data_config, eval_config, use_dask=True
+  )
+
+  forecast = _build_baseline_forecast(
+      forecast, truth, climatology, eval_config, data_config
+  )
+
+  if data_config.by_init:
+    truth = truth.sel(time=forecast["valid_time"])
+
+  results = _metric_and_region_loop(
+      forecast, truth, eval_config, skipna=skipna
+  )
+
+  logging.info("Evaluation complete")
+  output_path = _get_output_path(data_config, eval_name, "netcdf")
+  _to_netcdf(results, output_path)
+  logging.info(f"Saved results to {output_path}")
+
+
+def evaluate_in_memory(
+    data_config: config.Data,
+    eval_configs: dict,
+    skipna: bool = False,
+) -> None:
+  """Run evaluation in memory; saves one results NetCDF per config.Eval.
+
+  Output schema matches the reference (evaluation.py:497-508): dims
+  ``(metric, region, lead_time[, level])`` per variable.
+  """
+  for eval_name, eval_config in eval_configs.items():
+    _evaluate_all_metrics(eval_name, eval_config, data_config, skipna=skipna)
+
+
+def evaluate_with_mesh(
+    data_config: config.Data,
+    eval_configs: dict,
+    *,
+    input_chunks: Optional[Mapping[str, int]] = None,
+    skipna: bool = False,
+    mesh=None,
+    fanout: Optional[int] = None,
+    shuffle_before_temporal_mean: bool = False,
+    num_threads: Optional[int] = None,
+    runner: Optional[str] = None,
+    argv=None,
+) -> None:
+  """TPU-native replacement for the reference's ``evaluate_with_beam``.
+
+  Streams (init_)time chunks through a jit-fused metric program with
+  on-device (sum, count) accumulators; shards chunks over a
+  ``jax.sharding.Mesh`` when provided.  Extra kwargs accepted for CLI
+  compatibility with the reference are ignored.
+  """
+  del fanout, shuffle_before_temporal_mean, num_threads, runner, argv
+  from weatherbench2_tpu.parallel import streaming
+
+  input_chunks = dict(input_chunks or {})
+  for eval_name, eval_config in eval_configs.items():
+    logging.info(f"Eval config: {eval_name}")
+    forecast, truth, climatology = open_forecast_and_truth_datasets(
+        data_config, eval_config
+    )
+    results = streaming.evaluate_streaming(
+        forecast=forecast,
+        truth=truth,
+        climatology=climatology,
+        eval_config=eval_config,
+        data_config=data_config,
+        input_chunks=input_chunks,
+        skipna=skipna,
+        mesh=mesh,
+    )
+    output_path = _get_output_path(
+        data_config, eval_name, eval_config.output_format
+    )
+    if eval_config.output_format == "netcdf":
+      _to_netcdf(results, output_path)
+    else:
+      os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+      xds.to_zarr(results, output_path)
+    logging.info(f"Saved results to {output_path}")
+
+
+# Alias for API familiarity with the reference CLI flag --use_beam.
+evaluate_chunked = evaluate_with_mesh

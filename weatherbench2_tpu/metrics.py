@@ -88,7 +88,36 @@ def _get_climatology_chunk(
 
 @dataclasses.dataclass
 class Metric:
-  """Base class for metrics."""
+  """Base class for metrics.
+
+  TPU-engine protocol: ``prepare_chunk`` performs all coordinate-dependent
+  work (climatology/threshold gathers keyed by time coords) host-side;
+  ``compute_chunk_prepared`` is pure array math safe to trace under jit with
+  a single cached trace across chunks.  ``compute_chunk`` composes the two
+  and is the reference-parity entry point.
+  """
+
+  #: whether compute_chunk_prepared is jax-traceable (False for metrics
+  #: that require host-side RNG or numpy-only ops).
+  supports_jit: t.ClassVar[bool] = True
+
+  def prepare_chunk(
+      self, forecast: xds.Dataset, truth: xds.Dataset
+  ) -> t.Any:
+    """Host-side, coordinate-dependent preparation for a chunk."""
+    return None
+
+  def compute_chunk_prepared(
+      self,
+      forecast: xds.Dataset,
+      truth: xds.Dataset,
+      prepared: t.Any,
+      region: t.Optional[Region] = None,
+      skipna: bool = False,
+  ) -> xds.Dataset:
+    """Jit-safe chunk evaluation given `prepare_chunk` output."""
+    del prepared
+    return self.compute_chunk(forecast, truth, region=region, skipna=skipna)
 
   def compute_chunk(
       self,
@@ -317,10 +346,12 @@ class ACC(Metric):
 
   climatology: xds.Dataset
 
-  def compute_chunk(self, forecast, truth, region=None, skipna=False):
-    climatology_chunk = _align_climatology_to_forecast(
-        self.climatology, forecast, truth
-    )
+  def prepare_chunk(self, forecast, truth):
+    return _align_climatology_to_forecast(self.climatology, forecast, truth)
+
+  def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
+                             skipna=False):
+    climatology_chunk = prepared
     forecast_anom = forecast - climatology_chunk
     truth_anom = truth - climatology_chunk
     return _spatial_average(
@@ -328,6 +359,12 @@ class ACC(Metric):
     ) / _sqrt(
         _spatial_average(forecast_anom**2, region=region, skipna=skipna)
         * _spatial_average(truth_anom**2, region=region, skipna=skipna)
+    )
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self.compute_chunk_prepared(
+        forecast, truth, self.prepare_chunk(forecast, truth),
+        region=region, skipna=skipna,
     )
 
 
@@ -361,26 +398,37 @@ class SpatialSEEPS(Metric):
     ]
     return dry_fraction.mean(["hour", "dayofyear"])
 
-  def _category_indicators(self, ds: xds.Dataset):
+  def _category_indicators(self, ds: xds.Dataset, wet: xds.DataArray):
     """(dry, light, heavy) float indicators with NaN propagation."""
-    wet_threshold = self.climatology[f"{self.precip_name}_seeps_threshold"]
     dry_threshold = self.dry_threshold_mm / 1000.0
     da = ds[self.precip_name]
-    valid_time = ds["valid_time"]
-    wet = wet_threshold.sel(
-        dayofyear=valid_time.dt.dayofyear, hour=valid_time.dt.hour
-    )
     nan_mask = da.notnull()
     dry = (da < dry_threshold).astype(float).where(nan_mask)
     light = ((da > dry_threshold) & (da < wet)).astype(float).where(nan_mask)
     heavy = (da >= wet).astype(float).where(nan_mask)
     return dry, light, heavy
 
+  def prepare_chunk(self, forecast, truth):
+    wet_threshold = self.climatology[f"{self.precip_name}_seeps_threshold"]
+    valid_time = forecast["valid_time"]
+    wet = wet_threshold.sel(
+        dayofyear=valid_time.dt.dayofyear, hour=valid_time.dt.hour
+    )
+    return {"wet": wet, "p1": self.p1}
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self.compute_chunk_prepared(
+        forecast, truth, self.prepare_chunk(forecast, truth),
+        region=region, skipna=skipna,
+    )
+
+  def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
+                             skipna=False):
     del skipna  # Ignored; effectively True because of the p1 mask.
-    f_dry, f_light, f_heavy = self._category_indicators(forecast)
-    t_dry, t_light, t_heavy = self._category_indicators(truth)
-    p1 = self.p1
+    wet = prepared["wet"]
+    f_dry, f_light, f_heavy = self._category_indicators(forecast, wet)
+    t_dry, t_light, t_heavy = self._category_indicators(truth, wet)
+    p1 = prepared["p1"]
     # Scoring matrix (row: forecast cat, col: truth cat), times 0.5:
     #   [[0,            1/(1-p1),   4/(1-p1)],
     #    [1/p1,         0,          3/(1-p1)],
@@ -406,9 +454,12 @@ class SpatialSEEPS(Metric):
 class SEEPS(SpatialSEEPS):
   """Spatially averaged SEEPS."""
 
-  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+  def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
+                             skipna=False):
     del skipna  # Ignored; effectively True because of the p1 mask.
-    result = super().compute_chunk(forecast, truth, region)
+    result = SpatialSEEPS.compute_chunk_prepared(
+        self, forecast, truth, prepared, region
+    )
     return _spatial_average(result, region=region, skipna=True)
 
 
@@ -632,6 +683,19 @@ class ThresholdMetric(Metric):
 
   thresholds: Sequence[thresholds_lib.Threshold] = ()
 
+  def prepare_chunk(self, forecast, truth):
+    """Precompute the (coordinate-dependent) threshold datasets."""
+    return [threshold.compute(truth) for threshold in self.thresholds]
+
+  def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
+                             skipna=False):
+    self._prepared_thresholds = prepared
+    try:
+      return self.compute_chunk(forecast, truth, region=region,
+                                skipna=skipna)
+    finally:
+      self._prepared_thresholds = None
+
   def _map_over_thresholds(
       self,
       calculate_score,
@@ -641,9 +705,12 @@ class ThresholdMetric(Metric):
       skipna,
       spatial_agg,
   ) -> xds.Dataset:
+    prepared = getattr(self, "_prepared_thresholds", None)
     scores = []
-    for threshold in self.thresholds:
-      threshold_ds = threshold.compute(truth)
+    for i, threshold in enumerate(self.thresholds):
+      threshold_ds = (
+          prepared[i] if prepared is not None else threshold.compute(truth)
+      )
       score = calculate_score(forecast, truth, threshold_ds)
       if spatial_agg:
         score = _spatial_average(score, region=region, skipna=skipna)
@@ -1060,7 +1127,11 @@ class RankHistogram(EnsembleMetric):
   One-hot encoding over K+1 bins (optionally aggregated into num_bins that
   evenly divide K+1), with random tie breaking (reference
   metrics.py:1895-2042).  NaNs are treated as larger than any value.
+  Uses host-side RNG for tie breaking, so the streaming engine evaluates it
+  eagerly (supports_jit=False).
   """
+
+  supports_jit: t.ClassVar[bool] = False
 
   def __init__(
       self,

@@ -1,0 +1,500 @@
+"""Streaming sharded evaluation engine.
+
+This is the TPU-native replacement for the reference's Beam pipeline
+(`_EvaluateAllMetrics` + `xbeam.Mean`, reference evaluation.py:555-755):
+
+  * the (init_)time axis is processed in chunks that stream host→HBM;
+  * per chunk, one jit-compiled program evaluates every jit-capable
+    metric × region and reduces over the chunk's time entries — XLA fuses
+    the elementwise error math into the weighted-reduction epilogues;
+  * running (sum, count) accumulators live on device; the temporal mean is
+    ``sum / count`` at the end (replacing the Beam tree-combiner);
+  * with a ``jax.sharding.Mesh``, chunk arrays are sharded along the time
+    axis over the ``batch`` mesh axis; XLA inserts the psum over ICI for
+    the replicated accumulator outputs;
+  * coordinate-dependent work (truth alignment gathers, climatology /
+    threshold gathers, baseline substitution) happens host-side per chunk
+    via ``Metric.prepare_chunk``; per-chunk time coords are normalized to
+    placeholders so every full-size chunk reuses ONE compiled trace.
+
+Checkpoint/resume: accumulator state is a pytree of small arrays; see
+``StreamingState.save`` / ``load`` (the reference relies on Dataflow
+retries instead — SURVEY §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import pickle
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+from weatherbench2_tpu import xds
+from weatherbench2_tpu import utils
+from weatherbench2_tpu.evaluation import merge_metric_results
+
+CHUNKABLE_DIMS = ("init_time", "time", "lead_time")
+
+
+def _normalize_chunk_coords(ds: xds.Dataset, chunk_dim: str) -> xds.Dataset:
+  """Replace chunk-dim-dependent coords with canonical placeholders.
+
+  After `prepare_chunk`, no metric math depends on the actual time coord
+  values, so chunks of equal shape can share a single jit trace.
+  """
+  coords = {}
+  n = ds.sizes.get(chunk_dim)
+  for name, cv in ds.coords_dict().items():
+    if chunk_dim in cv.dims:
+      if name == chunk_dim and cv.ndim == 1:
+        coords[name] = xds.Variable((chunk_dim,), np.arange(n))
+      # other chunk-dependent coords (valid_time, 2-d init_time) dropped
+    else:
+      coords[name] = cv
+  return xds.Dataset(dict(ds.variables_dict()), coords=coords,
+                     attrs=ds.attrs)
+
+
+def _normalize_any(obj, chunk_dim):
+  if isinstance(obj, xds.Dataset):
+    return _normalize_chunk_coords(obj, chunk_dim)
+  if isinstance(obj, xds.DataArray):
+    ds = obj.to_dataset(name=obj.name or "__da__")
+    norm = _normalize_chunk_coords(ds, chunk_dim)
+    return norm[obj.name or "__da__"]
+  if isinstance(obj, dict):
+    return {k: _normalize_any(v, chunk_dim) for k, v in obj.items()}
+  if isinstance(obj, (list, tuple)):
+    return type(obj)(_normalize_any(v, chunk_dim) for v in obj)
+  return obj
+
+
+def _to_device(obj, sharding_fn=None):
+  """Move numpy payloads in a pytree of xds objects to jax, optionally
+  with a sharding chosen per-variable."""
+  import jax
+  import jax.numpy as jnp
+
+  def convert(x, dims):
+    arr = jnp.asarray(x) if not isinstance(x, jax.Array) else x
+    if sharding_fn is not None:
+      sh = sharding_fn(dims, np.shape(x))
+      if sh is not None:
+        arr = jax.device_put(arr, sh)
+    return arr
+
+  if isinstance(obj, xds.Dataset):
+    out = xds.Dataset({}, coords=dict(obj.coords_dict()), attrs=obj.attrs)
+    for k, v in obj.variables_dict().items():
+      out[k] = xds.Variable(v.dims, convert(v.data, v.dims), v.attrs)
+    return out
+  if isinstance(obj, xds.DataArray):
+    return obj.copy(data=convert(obj.data, obj.dims))
+  if isinstance(obj, dict):
+    return {k: _to_device(v, sharding_fn) for k, v in obj.items()}
+  if isinstance(obj, (list, tuple)):
+    return type(obj)(_to_device(v, sharding_fn) for v in obj)
+  return obj
+
+
+@dataclasses.dataclass
+class StreamingState:
+  """Checkpointable accumulator state for a streaming evaluation."""
+
+  sums: Any = None
+  counts: Any = None
+  chunk_index: int = 0
+
+  def save(self, path: str) -> None:
+    import jax
+
+    host = jax.tree_util.tree_map(np.asarray, (self.sums, self.counts))
+    with open(path, "wb") as f:
+      pickle.dump(
+          {"sums": host[0], "counts": host[1],
+           "chunk_index": self.chunk_index},
+          f,
+      )
+
+  @classmethod
+  def load(cls, path: str) -> "StreamingState":
+    with open(path, "rb") as f:
+      d = pickle.load(f)
+    return cls(sums=d["sums"], counts=d["counts"],
+               chunk_index=d["chunk_index"])
+
+
+def _chunk_slices(total: int, size: int):
+  for start in range(0, total, size):
+    yield slice(start, min(start + size, total))
+
+
+def _pad_chunk(ds: xds.Dataset, chunk_dim: str, target: int) -> xds.Dataset:
+  """Pad the chunk dim to `target` by repeating the last entry."""
+  n = ds.sizes[chunk_dim]
+  if n == target:
+    return ds
+  idx = np.concatenate([np.arange(n), np.full(target - n, n - 1)])
+  return ds.isel({chunk_dim: idx})
+
+
+def evaluate_streaming(
+    forecast: xds.Dataset,
+    truth: xds.Dataset,
+    climatology: Optional[xds.Dataset],
+    eval_config,
+    data_config,
+    input_chunks: Mapping[str, int],
+    skipna: bool = False,
+    mesh=None,
+    state: Optional[StreamingState] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+) -> xds.Dataset:
+  """Stream chunks through a fused metric program; return results dataset."""
+  import jax
+  import jax.numpy as jnp
+
+  by_init = data_config.by_init
+  chunk_dim = "init_time" if by_init else "time"
+  total = forecast.sizes[chunk_dim]
+  chunk_size = int(input_chunks.get(chunk_dim, total))
+  if mesh is not None:
+    batch = int(np.prod(mesh.devices.shape))
+    chunk_size = max(chunk_size, batch)
+  else:
+    batch = 1
+
+  lead_chunk = int(input_chunks.get("lead_time", 0)) or None
+
+  # --- probabilistic climatology baseline is built once from truth
+  prob_clim = None
+  if eval_config.evaluate_probabilistic_climatology:
+    prob_clim = utils.make_probabilistic_climatology(
+        truth,
+        eval_config.probabilistic_climatology_start_year,
+        eval_config.probabilistic_climatology_end_year,
+        eval_config.probabilistic_climatology_hour_interval,
+    )
+
+  jit_metrics = {
+      k: m for k, m in eval_config.metrics.items() if m.supports_jit
+  }
+  host_metrics = {
+      k: m for k, m in eval_config.metrics.items() if not m.supports_jit
+  }
+  regions = eval_config.regions or {None: None}
+
+  # ---- the fused per-chunk program (jit) ----------------------------------
+  def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
+    """Evaluate all jit metrics × regions; reduce over the chunk dim."""
+    sums = {}
+    counts = {}
+    for name, metric in jit_metrics.items():
+      region_results = []
+      for region_name, region in regions.items():
+        res = metric.compute_chunk_prepared(
+            forecast_c,
+            truth_c,
+            prepared_by_metric[name],
+            region=region,
+            skipna=skipna,
+        )
+        if region_name is not None:
+          res = res.expand_dims(
+              region=np.asarray([region_name], dtype=object)
+          )
+        region_results.append(res)
+      result = (
+          xds.concat(region_results, "region")
+          if len(region_results) > 1 or None not in regions
+          else region_results[0]
+      )
+      if eval_config.temporal_mean:
+        s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
+        sums[name] = s
+        counts[name] = c
+      else:
+        sums[name] = result
+        counts[name] = None
+    return sums, counts
+
+  def _masked_sum_count(result, dim, mask, skipna_):
+    sum_ds = xds.Dataset({}, coords={
+        k: v for k, v in result.coords_dict().items() if dim not in v.dims
+    })
+    cnt_ds = xds.Dataset({}, coords=dict(sum_ds.coords_dict()))
+    for vname in result.keys():
+      da = result[vname]
+      if dim not in da.dims:
+        # no time dependence (shouldn't happen) — count as one sample
+        sum_ds[vname] = da
+        cnt_ds[vname] = da.copy(data=jnp.ones_like(da.data))
+        continue
+      ax = da.dims.index(dim)
+      m_shape = [1] * da.ndim
+      m_shape[ax] = da.shape[ax]
+      m = mask.reshape(m_shape)
+      vals = da.data
+      if skipna_:
+        valid = jnp.logical_and(m > 0, ~jnp.isnan(vals))
+        s = jnp.where(valid, vals, 0.0).sum(axis=ax)
+        c = valid.sum(axis=ax)
+      else:
+        s = jnp.where(m > 0, vals, 0.0).sum(axis=ax)
+        c = jnp.broadcast_to(m, vals.shape).sum(axis=ax)
+      dims = tuple(d for d in da.dims if d != dim)
+      sum_ds[vname] = xds.Variable(dims, s)
+      cnt_ds[vname] = xds.Variable(dims, c)
+    return sum_ds, cnt_ds
+
+  chunk_program_jit = jax.jit(chunk_program)
+
+  # ---- sharding ------------------------------------------------------------
+  sharding_fn = None
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def sharding_fn(dims, shape):
+      if chunk_dim in dims:
+        spec = [None] * len(dims)
+        spec[dims.index(chunk_dim)] = "batch"
+        return NamedSharding(mesh, PartitionSpec(*spec))
+      return NamedSharding(mesh, PartitionSpec())
+
+  # ---- chunk loop ----------------------------------------------------------
+  if state is None:
+    state = StreamingState()
+  sums_acc = state.sums
+  counts_acc = state.counts
+  nontemporal_results = []
+
+  lead_results = []
+  lead_slices = (
+      list(_chunk_slices(forecast.sizes["lead_time"], lead_chunk))
+      if (lead_chunk and "lead_time" in forecast.sizes)
+      else [slice(None)]
+  )
+
+  for lead_i, lead_sl in enumerate(lead_slices):
+    if lead_i == 0 and state.sums is not None:
+      sums_acc, counts_acc = state.sums, state.counts
+    else:
+      sums_acc = None
+      counts_acc = None
+    chunk_list = list(_chunk_slices(total, chunk_size))
+    for ci, sl in enumerate(chunk_list):
+      if ci < state.chunk_index and len(lead_slices) == 1:
+        continue  # resumed past this chunk
+      f_chunk = forecast.isel({chunk_dim: sl})
+      if lead_sl != slice(None):
+        f_chunk = f_chunk.isel(lead_time=lead_sl)
+      n_real = f_chunk.sizes[chunk_dim]
+      target = -(-n_real // batch) * batch if mesh is not None else n_real
+      f_chunk = _pad_chunk(f_chunk, chunk_dim, target)
+      time_mask = np.zeros(target, dtype=np.float64)
+      time_mask[:n_real] = 1.0
+
+      f_chunk, t_chunk = _make_truth_chunk(
+          f_chunk, truth, climatology, prob_clim, eval_config, data_config
+      )
+
+      # derived variables (eager; full lead axis resident per chunk)
+      for dname, dv in eval_config.derived_variables.items():
+        f_chunk[dname] = dv.compute(f_chunk)
+        t_chunk[dname] = dv.compute(t_chunk)
+
+      # host-side, coordinate-dependent preparation
+      prepared = {
+          name: m.prepare_chunk(f_chunk, t_chunk)
+          for name, m in jit_metrics.items()
+      }
+
+      # normalize + ship to device
+      f_norm = _normalize_any(f_chunk, chunk_dim)
+      t_norm = _normalize_any(t_chunk, chunk_dim)
+      p_norm = _normalize_any(prepared, chunk_dim)
+      f_dev = _to_device(f_norm, sharding_fn)
+      t_dev = _to_device(t_norm, sharding_fn)
+      p_dev = _to_device(p_norm, sharding_fn)
+
+      sums, counts = chunk_program_jit(
+          f_dev, t_dev, p_dev, jnp.asarray(time_mask)
+      )
+
+      # host metrics (e.g. RankHistogram) evaluated eagerly
+      for name, metric in host_metrics.items():
+        res = _eval_host_metric(
+            metric, f_chunk, t_chunk, regions, skipna, n_real, chunk_dim,
+            eval_config.temporal_mean,
+        )
+        sums[name], counts[name] = res
+
+      if eval_config.temporal_mean:
+        if sums_acc is None:
+          sums_acc, counts_acc = sums, counts
+        else:
+          sums_acc = jax.tree_util.tree_map(
+              lambda a, b: a + b, sums_acc, sums
+          )
+          counts_acc = jax.tree_util.tree_map(
+              lambda a, b: a + b, counts_acc, counts
+          )
+      else:
+        # un-padded per-time results with original coords restored
+        for name in sums:
+          res = sums[name]
+          res = res.isel({chunk_dim: np.arange(n_real)})
+          res = res.assign_coords({
+              chunk_dim: np.asarray(
+                  forecast.coords_dict()[chunk_dim].data
+              )[sl]
+          })
+          nontemporal_results.append((name, ci, res))
+
+      state.chunk_index = ci + 1
+      if checkpoint_path and checkpoint_every and (
+          (ci + 1) % checkpoint_every == 0
+      ):
+        StreamingState(sums_acc, counts_acc, ci + 1).save(checkpoint_path)
+
+    if eval_config.temporal_mean:
+      per_metric = []
+      for name in eval_config.metrics:
+        mean_ds = _finalize_mean(sums_acc[name], counts_acc[name])
+        mean_ds = mean_ds.expand_dims(
+            metric=np.asarray([name], dtype=object)
+        )
+        per_metric.append(mean_ds)
+      lead_results.append(merge_metric_results(per_metric))
+    else:
+      by_metric = {}
+      for name, ci, res in nontemporal_results:
+        by_metric.setdefault(name, []).append((ci, res))
+      per_metric = []
+      for name, items in by_metric.items():
+        items.sort()
+        cat = xds.concat([r for _, r in items], chunk_dim)
+        per_metric.append(
+            cat.expand_dims(metric=np.asarray([name], dtype=object))
+        )
+      lead_results.append(merge_metric_results(per_metric))
+      nontemporal_results = []
+
+  if len(lead_results) == 1:
+    return lead_results[0]
+  return xds.concat(lead_results, "lead_time")
+
+
+def _finalize_mean(sum_ds: xds.Dataset, count_ds: xds.Dataset) -> xds.Dataset:
+  out = xds.Dataset({}, coords=dict(sum_ds.coords_dict()))
+  for k in sum_ds.keys():
+    s = np.asarray(xds.core._to_numpy(sum_ds[k].data), dtype=np.float64)
+    c = np.asarray(xds.core._to_numpy(count_ds[k].data), dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+      mean = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+    out[k] = xds.Variable(sum_ds[k].dims, mean)
+  return out
+
+
+def _eval_host_metric(metric, f_chunk, t_chunk, regions, skipna, n_real,
+                      chunk_dim, temporal_mean):
+  """Evaluate a non-jit metric eagerly on host, masked-accumulated."""
+  f_host = f_chunk.to_numpy_ds()
+  t_host = t_chunk.to_numpy_ds()
+  region_results = []
+  for region_name, region in regions.items():
+    res = metric.compute_chunk(
+        f_host, t_host, region=region, skipna=skipna
+    )
+    if region_name is not None:
+      res = res.expand_dims(region=np.asarray([region_name], dtype=object))
+    region_results.append(res)
+  result = (
+      xds.concat(region_results, "region")
+      if len(region_results) > 1 or None not in regions
+      else region_results[0]
+  )
+  if not temporal_mean:
+    return result, None
+  sum_ds = xds.Dataset({}, coords={
+      k: v
+      for k, v in result.coords_dict().items()
+      if chunk_dim not in v.dims
+  })
+  cnt_ds = xds.Dataset({}, coords=dict(sum_ds.coords_dict()))
+  for vname in result.keys():
+    da = result[vname]
+    ax = da.dims.index(chunk_dim)
+    vals = np.asarray(da.values, dtype=np.float64)
+    key = [slice(None)] * vals.ndim
+    key[ax] = slice(0, n_real)
+    vals = vals[tuple(key)]
+    if skipna:
+      valid = ~np.isnan(vals)
+      s = np.where(valid, vals, 0.0).sum(axis=ax)
+      c = valid.sum(axis=ax)
+    else:
+      s = vals.sum(axis=ax)
+      c = np.full(s.shape, vals.shape[ax])
+    dims = tuple(d for d in da.dims if d != chunk_dim)
+    sum_ds[vname] = xds.Variable(dims, s)
+    cnt_ds[vname] = xds.Variable(dims, c)
+  return sum_ds, cnt_ds
+
+
+def _make_truth_chunk(
+    f_chunk, truth, climatology, prob_clim, eval_config, data_config
+):
+  """Align truth to the forecast chunk; substitute baseline forecasts."""
+  by_init = data_config.by_init
+
+  if by_init:
+    t_chunk = truth.sel(time=f_chunk["valid_time"])
+  else:
+    t_chunk = truth.sel(time=f_chunk.coords_dict()["time"].data)
+
+  # baseline forecast substitution (climatology / prob-clim / persistence)
+  if eval_config.evaluate_climatology and climatology is not None:
+    time_dim = "valid_time" if by_init else "time"
+    names = list(f_chunk.keys())
+    clim = climatology
+    if not all(n in clim for n in names):
+      rename = {n + "_mean": n for n in names if n + "_mean" in clim}
+      clim = clim[list(rename.keys())].rename(rename)
+    else:
+      clim = clim[names]
+    sel = dict(dayofyear=f_chunk[time_dim].dt.dayofyear)
+    if "hour" in climatology.sizes:
+      sel["hour"] = f_chunk[time_dim].dt.hour
+    new_f = clim.sel(sel)
+    for cn, cv in f_chunk.coords_dict().items():
+      if cn not in new_f.coords_dict():
+        new_f = new_f.assign_coords({cn: cv})
+    f_chunk = new_f
+  elif eval_config.evaluate_probabilistic_climatology and (
+      prob_clim is not None
+  ):
+    time_dim = "valid_time" if by_init else "time"
+    names = list(f_chunk.keys())
+    sel = dict(dayofyear=f_chunk[time_dim].dt.dayofyear)
+    if "hour" in prob_clim.sizes:
+      sel["hour"] = f_chunk[time_dim].dt.hour
+    new_f = prob_clim[names].sel(sel).rename({"number": "realization"})
+    for cn, cv in f_chunk.coords_dict().items():
+      if cn not in new_f.coords_dict():
+        new_f = new_f.assign_coords({cn: cv})
+    f_chunk = new_f
+  elif eval_config.evaluate_persistence:
+    if not by_init:
+      raise NotImplementedError(
+          "Persistence in streaming mode requires by-init format."
+      )
+    from weatherbench2_tpu.evaluation import (
+        create_persistence_forecast_by_init,
+    )
+
+    f_chunk = create_persistence_forecast_by_init(f_chunk, truth)
+
+  return f_chunk, t_chunk

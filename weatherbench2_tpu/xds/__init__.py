@@ -23,6 +23,12 @@ from .core import (
 )
 from .io_netcdf import open_netcdf, to_netcdf
 from .io_zarr import ZarrArray, open_zarr, to_zarr
+from .tree import ensure_registered as register_pytree
+
+try:  # register pytrees eagerly when jax is importable
+  register_pytree()
+except ImportError:  # pragma: no cover
+  pass
 
 __all__ = [
     "DataArray",

@@ -1,0 +1,147 @@
+"""Benchmark: BASELINE config #1 — deterministic eval suite wall-clock.
+
+Workload (mirrors the reference's documented in-memory example, which
+"takes around 5 minutes" on a Colab CPU — docs/source/evaluation.ipynb):
+MSE + ACC (+ RMSE + Bias) of geopotential (levels 500/700/850) and
+2m_temperature vs truth + hourly climatology, full-year 2020, 64x32 grid
+(5.625 deg), 730 init times x 21 lead times, with 3 regions.
+
+Data is synthetic (zero-egress sandbox) but geometrically identical and
+streamed through the full engine path: zarr (tensorstore) -> host ->
+HBM chunks -> jit-fused metric x region program -> on-device accumulators
+-> NetCDF results.  Prints one JSON line with wall-clock seconds and
+vs_baseline = 300 s / elapsed.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+CACHE = os.environ.get("WB2_BENCH_CACHE", "/tmp/wb2_tpu_bench")
+BASELINE_SECONDS = 300.0  # "Takes around 5 minutes" (reference notebook)
+
+
+def _generate_data():
+  from weatherbench2_tpu import schema, xds
+
+  os.makedirs(CACHE, exist_ok=True)
+  truth_path = os.path.join(CACHE, "truth_64x32.zarr")
+  forecast_path = os.path.join(CACHE, "forecast_64x32.zarr")
+  clim_path = os.path.join(CACHE, "clim_64x32.zarr")
+  if all(os.path.exists(p) for p in (truth_path, forecast_path, clim_path)):
+    return truth_path, forecast_path, clim_path
+
+  rs = np.random.RandomState(0)
+
+  def randomize(ds):
+    return ds.copy(
+        data={
+            k: rs.randn(*v.shape).astype(np.float32)
+            for k, v in ds.variables_dict().items()
+        }
+    )
+
+  truth = randomize(
+      schema.mock_truth_data(
+          variables_3d=["geopotential"],
+          variables_2d=["2m_temperature"],
+          levels=(500, 700, 850),
+          spatial_resolution_in_degrees=5.625,
+          time_start="2020-01-01",
+          time_stop="2021-01-11",  # truth must cover init + max lead
+          time_resolution="6 hours",
+      )
+  )
+  forecast = randomize(
+      schema.mock_forecast_data(
+          variables_3d=["geopotential"],
+          variables_2d=["2m_temperature"],
+          levels=(500, 700, 850),
+          spatial_resolution_in_degrees=5.625,
+          time_start="2020-01-01",
+          time_stop="2021-01-01",
+          time_resolution="12 hours",
+          lead_start="0 days",
+          lead_stop="10 days",
+          lead_resolution="12 hours",
+      )
+  )
+  clim = randomize(
+      schema.mock_hourly_climatology_data(
+          variables_3d=["geopotential"],
+          variables_2d=["2m_temperature"],
+          levels=(500, 700, 850),
+          spatial_resolution_in_degrees=5.625,
+          hour_interval=6,
+      )
+  )
+  xds.to_zarr(truth, truth_path, chunks={"time": 124})
+  xds.to_zarr(forecast, forecast_path,
+              chunks={"time": 62, "prediction_timedelta": -1})
+  xds.to_zarr(clim, clim_path)
+  return truth_path, forecast_path, clim_path
+
+
+def main():
+  truth_path, forecast_path, clim_path = _generate_data()
+
+  from weatherbench2_tpu import config, evaluation, metrics, xds
+  from weatherbench2_tpu.regions import ExtraTropicalRegion, SliceRegion
+
+  out_dir = os.path.join(CACHE, "results")
+  selection = config.Selection(
+      variables=["geopotential", "2m_temperature"],
+      levels=[500, 700, 850],
+      time_slice=slice("2020-01-01", "2020-12-31"),
+  )
+  paths = config.Paths(
+      forecast=forecast_path, obs=truth_path, output_dir=out_dir,
+      climatology=clim_path,
+  )
+  data_config = config.Data(selection=selection, paths=paths, by_init=True)
+
+  clim = xds.open_zarr(clim_path)
+  eval_configs = {
+      "deterministic": config.Eval(
+          metrics={
+              "mse": metrics.MSE(),
+              "rmse": metrics.RMSESqrtBeforeTimeAvg(),
+              "bias": metrics.Bias(),
+              "acc": metrics.ACC(climatology=clim),
+          },
+          regions={
+              "global": SliceRegion(),
+              "tropics": SliceRegion(lat_slice=slice(-20, 20)),
+              "extra-tropics": ExtraTropicalRegion(),
+          },
+      )
+  }
+
+  # Warm up the accelerator session (tunnel claim + transfer path) so the
+  # timed region measures the workload, not one-time backend setup.
+  import jax
+  import jax.numpy as jnp
+
+  _ = np.asarray(jax.jit(lambda x: (x * x).sum())(jnp.ones((128, 128))))
+
+  start = time.perf_counter()
+  evaluation.evaluate_with_mesh(
+      data_config, eval_configs, input_chunks={"init_time": 183}
+  )
+  elapsed = time.perf_counter() - start
+
+  print(
+      json.dumps(
+          {
+              "metric": "deterministic_eval_suite_wallclock_1yr_64x32",
+              "value": round(elapsed, 3),
+              "unit": "seconds",
+              "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+          }
+      )
+  )
+
+
+if __name__ == "__main__":
+  main()

@@ -25,10 +25,20 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import pickle
+import time
 from typing import Any, Mapping, Optional
 
 import numpy as np
+
+_VERBOSE = os.environ.get("WB2_STREAM_VERBOSE", "") not in ("", "0")
+
+
+def _vlog(msg: str, t0=None):
+  if _VERBOSE:
+    dt = f" [{time.perf_counter() - t0:.2f}s]" if t0 is not None else ""
+    print(f"[stream {time.strftime('%H:%M:%S')}] {msg}{dt}", flush=True)
 
 from weatherbench2_tpu import xds
 from weatherbench2_tpu import utils
@@ -291,14 +301,20 @@ def evaluate_streaming(
       if lead_sl != slice(None):
         f_chunk = f_chunk.isel(lead_time=lead_sl)
       n_real = f_chunk.sizes[chunk_dim]
-      target = -(-n_real // batch) * batch if mesh is not None else n_real
+      # Pad every chunk to the full chunk size so all chunks share ONE
+      # compiled trace (compiles are expensive on remote TPU backends).
+      target = chunk_size if eval_config.temporal_mean else (
+          -(-n_real // batch) * batch if mesh is not None else n_real
+      )
       f_chunk = _pad_chunk(f_chunk, chunk_dim, target)
       time_mask = np.zeros(target, dtype=np.float64)
       time_mask[:n_real] = 1.0
 
+      t0 = time.perf_counter()
       f_chunk, t_chunk = _make_truth_chunk(
           f_chunk, truth, climatology, prob_clim, eval_config, data_config
       )
+      _vlog(f"chunk {ci}: truth align", t0)
 
       # derived variables (eager; full lead axis resident per chunk)
       for dname, dv in eval_config.derived_variables.items():
@@ -306,22 +322,28 @@ def evaluate_streaming(
         t_chunk[dname] = dv.compute(t_chunk)
 
       # host-side, coordinate-dependent preparation
+      t0 = time.perf_counter()
       prepared = {
           name: m.prepare_chunk(f_chunk, t_chunk)
           for name, m in jit_metrics.items()
       }
+      _vlog(f"chunk {ci}: prepare", t0)
 
       # normalize + ship to device
       f_norm = _normalize_any(f_chunk, chunk_dim)
       t_norm = _normalize_any(t_chunk, chunk_dim)
       p_norm = _normalize_any(prepared, chunk_dim)
+      t0 = time.perf_counter()
       f_dev = _to_device(f_norm, sharding_fn)
       t_dev = _to_device(t_norm, sharding_fn)
       p_dev = _to_device(p_norm, sharding_fn)
+      _vlog(f"chunk {ci}: h2d dispatch", t0)
 
+      t0 = time.perf_counter()
       sums, counts = chunk_program_jit(
           f_dev, t_dev, p_dev, jnp.asarray(time_mask)
       )
+      _vlog(f"chunk {ci}: program dispatch", t0)
 
       # host metrics (e.g. RankHistogram) evaluated eagerly
       for name, metric in host_metrics.items():
@@ -360,6 +382,10 @@ def evaluate_streaming(
         StreamingState(sums_acc, counts_acc, ci + 1).save(checkpoint_path)
 
     if eval_config.temporal_mean:
+      # fetch all accumulators to host in one batched device_get
+      t0 = time.perf_counter()
+      sums_acc, counts_acc = jax.device_get((sums_acc, counts_acc))
+      _vlog("final device_get", t0)
       per_metric = []
       for name in eval_config.metrics:
         mean_ds = _finalize_mean(sums_acc[name], counts_acc[name])

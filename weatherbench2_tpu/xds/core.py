@@ -140,13 +140,21 @@ class Variable:
     dims.insert(axis, dim)
     return Variable(tuple(dims), data, self.attrs)
 
-  def broadcast_to_dims(self, dims: Sequence[str], sizes: Mapping[str, int]):
-    """Transpose/reshape/broadcast this variable to the given dims order."""
+  def broadcast_to_dims(self, dims: Sequence[str], sizes: Mapping[str, int],
+                        xp=None):
+    """Transpose/reshape/broadcast this variable to the given dims order.
+
+    Pass the *common* array namespace as ``xp`` when broadcasting against
+    jax operands: a numpy ``broadcast_to`` view would otherwise be baked
+    into traced programs as a full-size dense constant, while
+    ``jnp.broadcast_to`` keeps a small constant + in-graph broadcast.
+    """
     dims = tuple(dims)
     # transpose own dims into target order
     own = [d for d in dims if d in self.dims]
     v = self.transpose(*own) if tuple(own) != self.dims else self
-    xp = _xp(v.data)
+    if xp is None:
+      xp = _xp(v.data)
     shape = tuple(v.sizes.get(d, 1) for d in dims)
     data = v.data.reshape(shape)
     full = tuple(sizes[d] for d in dims)
@@ -226,7 +234,8 @@ def _merge_sizes(*variables: Variable) -> dict[str, int]:
 def broadcast_variables(*variables: Variable):
   dims = broadcast_dims_order(*(v.dims for v in variables))
   sizes = _merge_sizes(*variables)
-  return [v.broadcast_to_dims(dims, sizes) for v in variables]
+  xp = _xp(*(v.data for v in variables))
+  return [v.broadcast_to_dims(dims, sizes, xp=xp) for v in variables]
 
 
 # ---------------------------------------------------------------------------

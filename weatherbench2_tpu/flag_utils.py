@@ -1,0 +1,99 @@
+"""absl-flags extensions: dim=value pair flags.
+
+Same flag grammar as the reference CLI (weatherbench2/flag_utils.py):
+``--input_chunks=time=10,longitude=100`` parses to ``{'time': 10,
+'longitude': 100}``; dim=value pairs coerce int → float → str.
+"""
+import re
+from typing import Any, Union
+
+from absl import flags
+
+DimValueType = Union[int, float, str]
+
+_CHUNKS_RE = re.compile(r"(\w+=-?\d+(,\w+=-?\d+)*)?")
+
+
+def parse_chunks(chunks_string: str) -> dict:
+  """Parse 'dim=size,dim=size' into {dim: int}."""
+  if re.fullmatch(_CHUNKS_RE, chunks_string) is None:
+    raise ValueError(f"invalid chunks string: {chunks_string}")
+  chunks = {}
+  if chunks_string:
+    for entry in chunks_string.split(","):
+      key, value = entry.split("=")
+      chunks[key] = int(value)
+  return chunks
+
+
+def get_dim_value(value_string: str) -> DimValueType:
+  """Coerce a string to int, then float, falling back to str."""
+  value_string = str(value_string)
+  try:
+    return int(value_string)
+  except ValueError:
+    pass
+  try:
+    return float(value_string)
+  except ValueError:
+    pass
+  return value_string
+
+
+def parse_dim_value_pairs(dim_value_string: str) -> dict:
+  """Parse 'dim=value,...' with int/float/str coercion."""
+  pairs = {}
+  if dim_value_string:
+    for entry in dim_value_string.split(","):
+      key, value = entry.split("=")
+      pairs[key] = get_dim_value(value)
+  return pairs
+
+
+class _PairSerializer(flags.ArgumentSerializer):
+
+  def serialize(self, value) -> str:
+    return ",".join(f"{k}={v}" for k, v in value.items())
+
+
+class _ChunksParser(flags.ArgumentParser):
+  syntactic_help = (
+      'comma separated list of dim=size pairs, e.g. "time=10,longitude=100"'
+  )
+
+  def parse(self, argument: str):
+    return parse_chunks(argument)
+
+  def flag_type(self) -> str:
+    return "dict[str, int]"
+
+
+class _DimValuePairParser(flags.ArgumentParser):
+  syntactic_help = (
+      'comma separated list of dim=value pairs, e.g. "level=500,name=z"'
+  )
+
+  def parse(self, argument: str):
+    return parse_dim_value_pairs(argument)
+
+  def flag_type(self) -> str:
+    return "dict[str, int | float | str]"
+
+
+def DEFINE_chunks(name: str, default: str, help: str, **kwargs: Any):  # pylint: disable=invalid-name,redefined-builtin
+  """Define a flag holding a chunks dict."""
+  return flags.DEFINE(
+      _ChunksParser(), name, default, help, serializer=_PairSerializer(),
+      **kwargs,
+  )
+
+
+DEFINE_dim_integer_pairs = DEFINE_chunks
+
+
+def DEFINE_dim_value_pairs(name: str, default: str, help: str, **kwargs):  # pylint: disable=invalid-name,redefined-builtin
+  """Define a flag holding a {dim: int|float|str} dict."""
+  return flags.DEFINE(
+      _DimValuePairParser(), name, default, help,
+      serializer=_PairSerializer(), **kwargs,
+  )

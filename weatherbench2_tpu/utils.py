@@ -118,11 +118,96 @@ def create_window_weights(window_size: int) -> xds.DataArray:
 
 
 def _windowed_stack(values: np.ndarray, axis: int, window: int) -> np.ndarray:
-  """Stack circular rolling windows: out[..., d, w] over wrapped dayofyear."""
+  """Stack circular rolling windows; the window axis is appended LAST."""
   half = window // 2
   n = values.shape[axis]
   idx = (np.arange(n)[:, None] + np.arange(-half, half + 1)[None, :]) % n
-  return np.take(values, idx, axis=axis)
+  out = np.take(values, idx, axis=axis)  # window axis lands at axis+1
+  return np.moveaxis(out, axis + 1, -1)
+
+
+def weighted_quantile(
+    values: np.ndarray,
+    q,
+    weights: np.ndarray,
+    axis: int = -1,
+    skipna: bool = True,
+) -> np.ndarray:
+  """Interpolated weighted quantile along one axis.
+
+  Uses the standard weighted-percentile estimator: sort values, form the
+  normalized cumulative-weight positions p_k = (cumw_k - w_k/2) / W, and
+  linearly interpolate the quantile q over (p_k, v_k).  Reduces to a
+  midpoint-interpolated quantile for equal weights; NaNs carry zero weight
+  when skipna.
+  """
+  q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+  values = np.moveaxis(np.asarray(values, dtype=np.float64), axis, -1)
+  w = np.broadcast_to(
+      np.asarray(weights, dtype=np.float64), values.shape
+  ).copy()
+  if skipna:
+    nan = np.isnan(values)
+    w = np.where(nan, 0.0, w)
+    values = np.where(nan, np.inf, values)  # sort NaNs to the end
+  order = np.argsort(values, axis=-1)
+  v_sorted = np.take_along_axis(values, order, axis=-1)
+  w_sorted = np.take_along_axis(w, order, axis=-1)
+  cumw = np.cumsum(w_sorted, axis=-1)
+  total = cumw[..., -1:]
+  with np.errstate(invalid="ignore", divide="ignore"):
+    positions = (cumw - 0.5 * w_sorted) / total
+  # vectorized 1-d interp per pencil
+  flat_v = v_sorted.reshape(-1, v_sorted.shape[-1])
+  flat_p = positions.reshape(-1, positions.shape[-1])
+  flat_w = w_sorted.reshape(-1, w_sorted.shape[-1])
+  out = np.empty((flat_v.shape[0], len(q)))
+  for i in range(flat_v.shape[0]):
+    valid = flat_w[i] > 0
+    if not valid.any():
+      out[i] = np.nan
+      continue
+    out[i] = np.interp(q, flat_p[i][valid], flat_v[i][valid])
+  out = out.reshape(v_sorted.shape[:-1] + (len(q),))
+  return np.moveaxis(out, -1, 0)  # quantile axis first
+
+
+def build_stacked_windows(
+    ds: xds.Dataset, window_weights: xds.DataArray
+) -> xds.Dataset:
+  """Stack (year, wrapped dayofyear window) for each variable.
+
+  Returns a Dataset whose variables have dims
+  ``(year,) + original_dims_with_dayofyear + ('window',)``.
+  """
+  window_size = len(window_weights.values)
+  years = np.unique(ds["time"].dt.year.values)
+  per_year = [replace_time_with_doy(ds.sel(time=str(y))) for y in years]
+  all_doys = np.array(sorted(
+      set(np.concatenate([
+          d.coords_dict()["dayofyear"].data for d in per_year
+      ]).tolist())
+  ))
+  stacked = xds.concat(
+      [
+          reindex_with_nan(d, "dayofyear", all_doys).expand_dims(year=[y])
+          for d, y in zip(per_year, years)
+      ],
+      "year",
+  )
+  doys = stacked.coords_dict()["dayofyear"].data
+  if 366 in doys and 365 in doys:
+    stacked = stacked.fillna(stacked.sel(dayofyear=365))
+  out = xds.Dataset({}, coords={
+      k: v for k, v in stacked.coords_dict().items()
+  })
+  for name in stacked.keys():
+    da = stacked[name]
+    ax = da.dims.index("dayofyear")
+    vals = np.asarray(da.values, dtype=np.float64)
+    windows = _windowed_stack(vals, ax, window_size)
+    out[name] = xds.DataArray(windows, dims=da.dims + ("window",))
+  return out
 
 
 def compute_rolling_stat(
@@ -134,8 +219,13 @@ def compute_rolling_stat(
 
   Matches the reference semantics (utils.py:88-124): stack years, fill the
   leap-day gap (366) with day 365, apply a periodic weighted rolling window
-  over dayofyear, and reduce over (window, year).
+  over dayofyear, and reduce over (window, year).  A callable ``stat_fn``
+  receives the full stacked-window Dataset:
+  ``stat_fn(stacked_ds, weights=window_weights, dim=('window', 'year'))``.
   """
+  if callable(stat_fn):
+    stacked = build_stacked_windows(ds, window_weights)
+    return stat_fn(stacked, weights=window_weights, dim=("window", "year"))
   window_size = len(window_weights.values)
   years = np.unique(ds["time"].dt.year.values)
   per_year = [
@@ -169,8 +259,6 @@ def compute_rolling_stat(
     yax = da.dims.index("year")
     vals = np.asarray(da.values, dtype=np.float64)
     windows = _windowed_stack(vals, ax, window_size)  # window axis appended
-    # weights broadcast over window axis (last)
-    wfull = w.reshape((1,) * windows.ndim)[..., 0:0]  # placeholder
     shape = [1] * windows.ndim
     shape[-1] = window_size
     wb = w.reshape(shape)
@@ -187,17 +275,7 @@ def compute_rolling_stat(
       dev = np.where(valid, (windows - mexp) ** 2, 0.0)
       result = np.sqrt((dev * wmask).sum(axis=red_axes) / sum_w)
     else:
-      # custom stat over a stacked window representation
-      dims = da.dims + ("window",)
-      stacked_da = xds.DataArray(
-          windows, dims=dims,
-          coords={"dayofyear": stacked.coords_dict()["dayofyear"]},
-      )
-      res_da = stat_fn(
-          stacked_da, weights=window_weights, dim=("window", "year")
-      )
-      out[name] = res_da
-      continue
+      raise NotImplementedError(f"stat {stat_fn!r} not implemented")
     dims = tuple(d for d in da.dims if d != "year")
     result_da = xds.DataArray(
         result, dims=dims,

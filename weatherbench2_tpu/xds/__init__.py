@@ -22,7 +22,13 @@ from .core import (
     zeros_like,
 )
 from .io_netcdf import open_netcdf, to_netcdf
-from .io_zarr import ZarrArray, open_zarr, to_zarr
+from .io_zarr import (
+    ZarrArray,
+    create_zarr_template,
+    open_zarr,
+    to_zarr,
+    write_zarr_region,
+)
 from .tree import ensure_registered as register_pytree
 
 try:  # register pytrees eagerly when jax is importable

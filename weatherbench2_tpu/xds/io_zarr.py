@@ -172,6 +172,101 @@ def to_zarr(
   )
 
 
+def create_zarr_template(
+    ds: core.Dataset,
+    path: str,
+    chunks: Optional[Mapping[str, int]] = None,
+) -> None:
+  """Create a zarr store with metadata and coords but unwritten data vars.
+
+  Float variables get fill_value NaN so unwritten regions read as NaN —
+  this is the idempotent template+chunk-write output model (regions can be
+  written concurrently/partially and re-runs overwrite cleanly).
+  """
+  os.makedirs(path, exist_ok=True)
+  _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+  group_attrs: dict[str, Any] = dict(ds.attrs)
+  string_arrays: dict[str, Any] = {}
+  ts = _ts()
+
+  # coords are small: write them eagerly
+  for name, var in ds.coords_dict().items():
+    values = core._to_numpy(var.data)
+    if values.dtype.kind in ("U", "O", "S"):
+      string_arrays[name] = {
+          "dims": list(var.dims),
+          "values": np.asarray(values, dtype=str).tolist(),
+      }
+      continue
+    data, cf_attrs = _encode_cf(values)
+    spec = {
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
+        "metadata": {
+            "shape": list(data.shape),
+            "chunks": [max(1, s) for s in data.shape] if data.ndim else [],
+            "dtype": _dtype_str(data.dtype),
+            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                           "shuffle": 2},
+            "fill_value": None,
+            "filters": None,
+            "order": "C",
+            "zarr_format": 2,
+        },
+        "create": True,
+        "delete_existing": True,
+    }
+    ts.open(spec).result().write(data).result()
+    _write_json(
+        os.path.join(path, name, ".zattrs"),
+        {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs},
+    )
+
+  # data vars: create metadata only; NaN fill for floats
+  for name, var in ds.variables_dict().items():
+    values_dtype = np.dtype(var.dtype)
+    shape = [var.sizes[d] for d in var.dims]
+    chunk_shape = _var_chunks(shape, chunks, var.dims)
+    is_float = values_dtype.kind == "f"
+    spec = {
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
+        "metadata": {
+            "shape": shape,
+            "chunks": chunk_shape,
+            "dtype": _dtype_str(values_dtype),
+            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                           "shuffle": 2},
+            "fill_value": "NaN" if is_float else None,
+            "filters": None,
+            "order": "C",
+            "zarr_format": 2,
+        },
+        "create": True,
+        "delete_existing": True,
+    }
+    ts.open(spec).result()
+    _write_json(
+        os.path.join(path, name, ".zattrs"),
+        {"_ARRAY_DIMENSIONS": list(var.dims), **var.attrs},
+    )
+
+  if string_arrays:
+    group_attrs["_xds_string_arrays"] = string_arrays
+  _write_json(os.path.join(path, ".zattrs"), group_attrs)
+
+
+def write_zarr_region(path: str, name: str, key, data: np.ndarray):
+  """Write a region of a zarr array; returns a tensorstore future."""
+  arr = _ts().open(
+      {
+          "driver": "zarr",
+          "kvstore": {"driver": "file", "path": os.path.join(path, name)},
+      }
+  ).result()
+  return arr[key].write(np.ascontiguousarray(data))
+
+
 class ZarrArray:
   """Lazy handle to a single zarr array (tensorstore-backed)."""
 

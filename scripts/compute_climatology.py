@@ -28,19 +28,19 @@ DEFAULT_SEEPS_THRESHOLD_MM = (
     "{'total_precipitation_24hr':0.25, 'total_precipitation_6hr':0.1}"
 )
 
-INPUT_PATH = flags.DEFINE_string("input_path", None, help="Input Zarr path")
-OUTPUT_PATH = flags.DEFINE_string("output_path", None, help="Output Zarr path")
-FREQUENCY = flags.DEFINE_string(
+INPUT_PATH = flag_utils.DEFINE_string("input_path", None, help="Input Zarr path")
+OUTPUT_PATH = flag_utils.DEFINE_string("output_path", None, help="Output Zarr path")
+FREQUENCY = flag_utils.DEFINE_string(
     "frequency", "hourly",
     '"hourly": per day-of-year and hour-of-day; "daily": per day-of-year.',
 )
-HOUR_INTERVAL = flags.DEFINE_integer(
+HOUR_INTERVAL = flag_utils.DEFINE_integer(
     "hour_interval", 1, help="Hour-of-day interval for hourly climatology.")
-WINDOW_SIZE = flags.DEFINE_integer(
+WINDOW_SIZE = flag_utils.DEFINE_integer(
     "window_size", 61, help="Window size in days to average over.")
-START_YEAR = flags.DEFINE_integer(
+START_YEAR = flag_utils.DEFINE_integer(
     "start_year", 1990, help="Inclusive start year of climatology")
-END_YEAR = flags.DEFINE_integer(
+END_YEAR = flag_utils.DEFINE_integer(
     "end_year", 2020, help="Inclusive end year of climatology")
 WORKING_CHUNKS = flag_utils.DEFINE_chunks(
     "working_chunks", "",
@@ -48,22 +48,22 @@ WORKING_CHUNKS = flag_utils.DEFINE_chunks(
 )
 OUTPUT_CHUNKS = flag_utils.DEFINE_chunks(
     "output_chunks", "", help="Chunk sizes for the output store.")
-RECHUNK_ITEMSIZE = flags.DEFINE_integer(
+RECHUNK_ITEMSIZE = flag_utils.DEFINE_integer(
     "rechunk_itemsize", 4, help="(accepted for compatibility; unused)")
-STATISTICS = flags.DEFINE_list(
+STATISTICS = flag_utils.DEFINE_list(
     "statistics", ["mean"],
     help='Statistics from "mean", "std", "seeps", "quantile".')
-QUANTILES = flags.DEFINE_list("quantiles", [], "Quantiles to compute.")
-METHOD = flags.DEFINE_string(
+QUANTILES = flag_utils.DEFINE_list("quantiles", [], "Quantiles to compute.")
+METHOD = flag_utils.DEFINE_string(
     "method", "explicit",
     '"explicit" (windowed weighted stat over stacked years) or "fast" '
     "(stat per day-of-year, then weighted smoothing).",
 )
-SEEPS_DRY_THRESHOLD_MM = flags.DEFINE_string(
+SEEPS_DRY_THRESHOLD_MM = flag_utils.DEFINE_string(
     "seeps_dry_threshold_mm", DEFAULT_SEEPS_THRESHOLD_MM,
     help="Dict of per-variable dry thresholds (mm) for SEEPS.")
-RUNNER = flags.DEFINE_string("runner", None, "(ignored)")
-NUM_THREADS = flags.DEFINE_integer(
+RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
+NUM_THREADS = flag_utils.DEFINE_integer(
     "num_threads", None, help="(accepted for compatibility; unused)")
 
 

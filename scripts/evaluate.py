@@ -41,92 +41,92 @@ _DEFAULT_VARIABLES = [
     "mean_sea_level_pressure",
 ]
 
-FORECAST_PATH = flags.DEFINE_string(
+FORECAST_PATH = flag_utils.DEFINE_string(
     "forecast_path", None, help="Path to forecast Zarr store")
-OBS_PATH = flags.DEFINE_string(
+OBS_PATH = flag_utils.DEFINE_string(
     "obs_path", None, help="Path to ground-truth Zarr store")
-CLIMATOLOGY_PATH = flags.DEFINE_string(
+CLIMATOLOGY_PATH = flag_utils.DEFINE_string(
     "climatology_path", None, help="Path to climatology (for ACC etc.)")
-BY_INIT = flags.DEFINE_bool(
+BY_INIT = flag_utils.DEFINE_bool(
     "by_init", True, help="Forecasts in by-init (vs by-valid) format.")
-EVALUATE_PERSISTENCE = flags.DEFINE_bool(
+EVALUATE_PERSISTENCE = flag_utils.DEFINE_bool(
     "evaluate_persistence", False, "Evaluate persistence forecast.")
-EVALUATE_CLIMATOLOGY = flags.DEFINE_bool(
+EVALUATE_CLIMATOLOGY = flag_utils.DEFINE_bool(
     "evaluate_climatology", False, "Evaluate climatology forecast.")
-EVALUATE_PROBABILISTIC_CLIMATOLOGY = flags.DEFINE_bool(
+EVALUATE_PROBABILISTIC_CLIMATOLOGY = flag_utils.DEFINE_bool(
     "evaluate_probabilistic_climatology", False,
     "Evaluate probabilistic climatology (years as ensemble members).")
-PROBABILISTIC_CLIMATOLOGY_START_YEAR = flags.DEFINE_integer(
+PROBABILISTIC_CLIMATOLOGY_START_YEAR = flag_utils.DEFINE_integer(
     "probabilistic_climatology_start_year", None,
     "First ground-truth year for probabilistic climatology")
-PROBABILISTIC_CLIMATOLOGY_END_YEAR = flags.DEFINE_integer(
+PROBABILISTIC_CLIMATOLOGY_END_YEAR = flag_utils.DEFINE_integer(
     "probabilistic_climatology_end_year", None,
     "Last ground-truth year for probabilistic climatology")
-PROBABILISTIC_CLIMATOLOGY_HOUR_INTERVAL = flags.DEFINE_integer(
+PROBABILISTIC_CLIMATOLOGY_HOUR_INTERVAL = flag_utils.DEFINE_integer(
     "probabilistic_climatology_hour_interval", 6,
     "Hour interval for probabilistic climatology")
-REGIONS = flags.DEFINE_list(
+REGIONS = flag_utils.DEFINE_list(
     "regions", None,
     help='Predefined regions to evaluate ("all" for all of them).')
-LSM_DATASET = flags.DEFINE_string(
+LSM_DATASET = flag_utils.DEFINE_string(
     "lsm_dataset", None,
     help="Dataset with land_sea_mask (defaults to obs dataset).")
-COMPUTE_SEEPS = flags.DEFINE_bool(
+COMPUTE_SEEPS = flag_utils.DEFINE_bool(
     "compute_seeps", False, "Compute SEEPS for precipitation.")
-EVAL_CONFIGS = flags.DEFINE_string(
+EVAL_CONFIGS = flag_utils.DEFINE_string(
     "eval_configs", "deterministic",
     help="Comma-separated list of eval configs to run.")
-ENSEMBLE_DIM = flags.DEFINE_string(
+ENSEMBLE_DIM = flag_utils.DEFINE_string(
     "ensemble_dim", "number", help="Name of the ensemble dimension.")
-RENAME_VARIABLES = flags.DEFINE_string(
+RENAME_VARIABLES = flag_utils.DEFINE_string(
     "rename_variables", None,
     help='Dict literal of renames, e.g. {"2t": "2m_temperature"}')
-SKIPNA = flags.DEFINE_boolean(
+SKIPNA = flag_utils.DEFINE_boolean(
     "skipna", False, help="Skip NaNs when evaluating.")
-PRESSURE_LEVEL_SUFFIXES = flags.DEFINE_bool(
+PRESSURE_LEVEL_SUFFIXES = flag_utils.DEFINE_bool(
     "pressure_level_suffixes", False,
     help="Decode pressure-level-suffixed variable names.")
-LEVELS = flags.DEFINE_list(
+LEVELS = flag_utils.DEFINE_list(
     "levels", ["500", "700", "850"], help="Pressure levels to evaluate.")
-VARIABLES = flags.DEFINE_list(
+VARIABLES = flag_utils.DEFINE_list(
     "variables", _DEFAULT_VARIABLES, help="Variables to evaluate.")
-AUX_VARIABLES = flags.DEFINE_list(
+AUX_VARIABLES = flag_utils.DEFINE_list(
     "aux_variables", None, help="Auxiliary forecast variables.")
-DERIVED_VARIABLES = flags.DEFINE_list(
+DERIVED_VARIABLES = flag_utils.DEFINE_list(
     "derived_variables", [],
     help="Derived variables to compute on the fly.")
-THRESHOLD_METHOD = flags.DEFINE_string(
+THRESHOLD_METHOD = flag_utils.DEFINE_string(
     "threshold_method", "quantile",
     help='"quantile" or "gaussian_quantile".')
-QUANTILE_THRESHOLDS = flags.DEFINE_list(
+QUANTILE_THRESHOLDS = flag_utils.DEFINE_list(
     "quantile_thresholds", [],
     help="Climatological quantiles for binary metrics.")
-TIME_START = flags.DEFINE_string(
+TIME_START = flag_utils.DEFINE_string(
     "time_start", "2020-01-01", help="Inclusive evaluation start time.")
-TIME_STOP = flags.DEFINE_string(
+TIME_STOP = flag_utils.DEFINE_string(
     "time_stop", "2020-12-31", help="Inclusive evaluation stop time.")
-OUTPUT_DIR = flags.DEFINE_string(
+OUTPUT_DIR = flag_utils.DEFINE_string(
     "output_dir", None, help="Directory for results files.")
-OUTPUT_FILE_PREFIX = flags.DEFINE_string(
+OUTPUT_FILE_PREFIX = flag_utils.DEFINE_string(
     "output_file_prefix", "", help="Prefix for results filenames.")
 INPUT_CHUNKS = flag_utils.DEFINE_chunks(
     "input_chunks", "init_time=32",
     help="Chunk sizes for streaming the forecast through the engine.")
-USE_MESH = flags.DEFINE_bool(
+USE_MESH = flag_utils.DEFINE_bool(
     "use_mesh", False,
     "Run via the sharded streaming engine instead of fully in memory.")
-USE_BEAM = flags.DEFINE_bool(
+USE_BEAM = flag_utils.DEFINE_bool(
     "use_beam", False,
     "Compatibility alias for --use_mesh (no Beam here).")
-N_DEVICES = flags.DEFINE_integer(
+N_DEVICES = flag_utils.DEFINE_integer(
     "n_devices", None,
     help="Number of devices for the mesh (default: all available).")
 # Accepted for CLI compatibility with the reference; ignored.
-RUNNER = flags.DEFINE_string("runner", None, "(ignored)")
-FANOUT = flags.DEFINE_integer("fanout", None, help="(ignored)")
-NUM_THREADS = flags.DEFINE_integer(
+RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
+FANOUT = flag_utils.DEFINE_integer("fanout", None, help="(ignored)")
+NUM_THREADS = flag_utils.DEFINE_integer(
     "num_threads", None, help="IO threads (currently fixed).")
-SHUFFLE_BEFORE_TEMPORAL_MEAN = flags.DEFINE_bool(
+SHUFFLE_BEFORE_TEMPORAL_MEAN = flag_utils.DEFINE_bool(
     "shuffle_before_temporal_mean", False, help="(ignored)")
 
 _WIND_PAIRS = [

@@ -80,6 +80,32 @@ class _DimValuePairParser(flags.ArgumentParser):
     return "dict[str, int | float | str]"
 
 
+def _reuse_tolerant(define_fn):
+  """Wrap an absl DEFINE so repeated definitions reuse the existing flag.
+
+  CLI scripts legitimately share flag names (input_path, runner, ...); a
+  single process importing several scripts (e.g. the test suite) must not
+  crash with DuplicateFlagError.  The first definition wins.
+  """
+
+  def define(name, *args, **kwargs):
+    fv = kwargs.get("flag_values", flags.FLAGS)
+    if name in fv:
+      return flags.FlagHolder(fv, fv[name])
+    return define_fn(name, *args, **kwargs)
+
+  return define
+
+
+DEFINE_string = _reuse_tolerant(flags.DEFINE_string)
+DEFINE_integer = _reuse_tolerant(flags.DEFINE_integer)
+DEFINE_float = _reuse_tolerant(flags.DEFINE_float)
+DEFINE_bool = _reuse_tolerant(flags.DEFINE_bool)
+DEFINE_boolean = DEFINE_bool
+DEFINE_list = _reuse_tolerant(flags.DEFINE_list)
+
+
+@_reuse_tolerant
 def DEFINE_chunks(name: str, default: str, help: str, **kwargs: Any):  # pylint: disable=invalid-name,redefined-builtin
   """Define a flag holding a chunks dict."""
   return flags.DEFINE(
@@ -91,6 +117,7 @@ def DEFINE_chunks(name: str, default: str, help: str, **kwargs: Any):  # pylint:
 DEFINE_dim_integer_pairs = DEFINE_chunks
 
 
+@_reuse_tolerant
 def DEFINE_dim_value_pairs(name: str, default: str, help: str, **kwargs):  # pylint: disable=invalid-name,redefined-builtin
   """Define a flag holding a {dim: int|float|str} dict."""
   return flags.DEFINE(

@@ -1,0 +1,99 @@
+r"""CLI to regrid a whole Zarr dataset (nearest/bilinear/conservative).
+
+Flag-compatible with the reference scripts/regrid.py. The grid geometry is
+precomputed host-side and the per-chunk apply is a batched device matmul /
+gather (see weatherbench2_tpu/regridding.py); time chunks stream through
+the device instead of a Beam pipeline.
+
+Example:
+  python scripts/regrid.py \
+    --input_path=/data/era5_0p25.zarr \
+    --output_path=/data/era5_1p5.zarr \
+    --longitude_nodes=240 --latitude_nodes=121 \
+    --regridding_method=conservative
+"""
+from absl import app
+from absl import flags
+import numpy as np
+
+from weatherbench2_tpu import flag_utils
+from weatherbench2_tpu import regridding
+from weatherbench2_tpu import xds
+
+INPUT_PATH = flag_utils.DEFINE_string("input_path", None, help="zarr inputs")
+OUTPUT_PATH = flag_utils.DEFINE_string("output_path", None, help="zarr outputs")
+OUTPUT_CHUNKS = flag_utils.DEFINE_chunks(
+    "output_chunks", "", help="desired chunking of the output zarr")
+LATITUDE_NODES = flag_utils.DEFINE_integer(
+    "latitude_nodes", None, help="number of desired latitude nodes")
+LONGITUDE_NODES = flag_utils.DEFINE_integer(
+    "longitude_nodes", None, help="number of desired longitude nodes")
+LATITUDE_SPACING = flag_utils.DEFINE_string(
+    "latitude_spacing", "EQUIANGULAR_WITH_POLES",
+    help="EQUIANGULAR_WITH_POLES or EQUIANGULAR_WITHOUT_POLES")
+LONGITUDE_SCHEME = flag_utils.DEFINE_string(
+    "longitude_scheme", "START_AT_ZERO",
+    help="START_AT_ZERO ([0..360-d]) or CENTER_AT_ZERO ([-180+d/2..180-d/2])")
+REGRIDDING_METHOD = flag_utils.DEFINE_string(
+    "regridding_method", "conservative",
+    help="nearest | bilinear | conservative")
+LATITUDE_NAME = flag_utils.DEFINE_string(
+    "latitude_name", "latitude", help="Name of latitude dim in the input")
+LONGITUDE_NAME = flag_utils.DEFINE_string(
+    "longitude_name", "longitude", help="Name of longitude dim in the input")
+TIME_CHUNK_SIZE = flag_utils.DEFINE_integer(
+    "time_chunk_size", None,
+    help="Stream the time dimension through the device in chunks this size.")
+NUM_THREADS = flag_utils.DEFINE_integer(
+    "num_threads", None, help="(accepted for compatibility; unused)")
+RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
+
+
+def main(argv):
+  source_ds = xds.open_zarr(INPUT_PATH.value)
+  renames = {
+      LONGITUDE_NAME.value: "longitude",
+      LATITUDE_NAME.value: "latitude",
+  }
+  renames = {k: v for k, v in renames.items() if k != v}
+  if renames:
+    source_ds = source_ds.rename(renames)
+
+  old_lon = np.asarray(source_ds.coords_dict()["longitude"].data)
+  old_lat = np.asarray(source_ds.coords_dict()["latitude"].data)
+  new_lon = regridding.longitude_values(
+      regridding.LongitudeScheme[LONGITUDE_SCHEME.value],
+      LONGITUDE_NODES.value,
+  )
+  new_lat = regridding.latitude_values(
+      regridding.LatitudeSpacing[LATITUDE_SPACING.value],
+      LATITUDE_NODES.value,
+  )
+  regridder_cls = {
+      "nearest": regridding.NearestRegridder,
+      "bilinear": regridding.BilinearRegridder,
+      "conservative": regridding.ConservativeRegridder,
+  }[REGRIDDING_METHOD.value]
+  source_grid = regridding.Grid.from_degrees(
+      lon=old_lon, lat=np.sort(old_lat)
+  )
+  target_grid = regridding.Grid.from_degrees(lon=new_lon, lat=new_lat)
+  regridder = regridder_cls(source_grid, target_grid)
+
+  time_dim = "time" if "time" in source_ds.sizes else None
+  chunk = TIME_CHUNK_SIZE.value
+  if time_dim and chunk:
+    pieces = []
+    n = source_ds.sizes[time_dim]
+    for start in range(0, n, chunk):
+      tile = source_ds.isel({time_dim: slice(start, start + chunk)})
+      pieces.append(regridder.regrid_dataset(tile))
+    out = xds.concat(pieces, time_dim)
+  else:
+    out = regridder.regrid_dataset(source_ds)
+
+  xds.to_zarr(out, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
+
+
+if __name__ == "__main__":
+  app.run(main)

@@ -1670,9 +1670,18 @@ class Dataset:
     return self.map(abs)
 
   def map(self, func, keep_attrs=False, **kwargs):
-    out = Dataset({}, coords=dict(self._coords), attrs=self.attrs)
-    for k in self._variables:
-      res = func(self[k], **kwargs)
+    results = {k: func(self[k], **kwargs) for k in self._variables}
+    # coords survive if their dims still exist in some result variable
+    result_dims = set()
+    for res in results.values():
+      result_dims.update(res.dims)
+    coords = {
+        k: v
+        for k, v in self._coords.items()
+        if set(v.dims) <= result_dims
+    }
+    out = Dataset({}, coords=coords, attrs=self.attrs)
+    for k, res in results.items():
       out[k] = res
     return out
 

@@ -79,6 +79,7 @@ def test_compute_averages_cli(tmp_path):
       input_path=in_path,
       output_path=out_path,
       averaging_dims=["latitude", "longitude"],
+      variables=["geopotential", "2m_temperature"],
       time_start="2020-01-01",
       time_stop="2020-01-31",
   ):
@@ -114,6 +115,7 @@ def test_compute_ensemble_mean_cli(tmp_path):
       input_path=in_path,
       output_path=out_path,
       realization_name="realization",
+      variables=["geopotential"],
       time_start="2020-01-01",
       time_stop="2020-01-10",
   ):

@@ -478,6 +478,102 @@ def compute_daily_stat_fast(
   raise NotImplementedError(f"stat {stat_fn} not implemented.")
 
 
+_STAT_FNS = {
+    "mean": (np.mean, np.nanmean),
+    "min": (np.min, np.nanmin),
+    "max": (np.max, np.nanmax),
+    "sum": (np.sum, np.nansum),
+}
+
+
+def resample_in_time(
+    ds: xds.Dataset,
+    period,
+    statistic: str = "mean",
+    label: str = "left",
+    skipna: bool = False,
+    time_dim: str = "time",
+    origin: str = "start_day",
+) -> xds.Dataset:
+  """Resample along time into period bins with the given statistic.
+
+  label='left': bins [T, T+period) labelled T (pandas origin='start_day').
+  label='right': bins (T-period, T] labelled T, first (incomplete from the
+  left) bin dropped — matching the reference resample_in_time semantics.
+  """
+  import pandas as pd
+
+  period = pd.to_timedelta(period)
+  times = pd.DatetimeIndex(np.asarray(ds.coords_dict()[time_dim].data))
+  if origin == "start_day":
+    origin_ts = times[0].floor("D")
+  else:
+    origin_ts = times[0]
+  period64 = np.timedelta64(period)
+  offs = (times.values - np.datetime64(origin_ts))
+  if label == "left":
+    bins = offs // period64
+    labels_idx = np.unique(bins)
+    label_times = np.datetime64(origin_ts) + labels_idx * period64
+  elif label == "right":
+    bins = -((-offs) // period64)  # ceil: (T-period, T] -> bin index
+    labels_idx = np.unique(bins)
+    label_times = np.datetime64(origin_ts) + labels_idx * period64
+  else:
+    raise ValueError(f"Unhandled {label=}")
+  pos = {b: i for i, b in enumerate(labels_idx.tolist())}
+  inverse = np.array([pos[b] for b in bins.tolist()])
+
+  plain_fn, nan_fn = _STAT_FNS[statistic]
+  fn = nan_fn if skipna else plain_fn
+
+  out = xds.Dataset({}, coords={
+      k: v for k, v in ds.coords_dict().items() if time_dim not in v.dims
+  })
+  for name in ds.keys():
+    da = ds[name]
+    if time_dim not in da.dims:
+      out[name] = da
+      continue
+    ax = da.dims.index(time_dim)
+    vals = np.moveaxis(np.asarray(da.values, dtype=np.float64), ax, 0)
+    red = np.stack([
+        fn(vals[inverse == i], axis=0) for i in range(len(labels_idx))
+    ])
+    red = np.moveaxis(red, 0, ax)
+    out[name] = xds.DataArray(red, dims=da.dims)
+  out = out.assign_coords({time_dim: label_times})
+  if label == "right":
+    out = out.isel({time_dim: slice(1, None)})
+  return out
+
+
+def rolling_in_time(
+    ds: xds.Dataset,
+    window: int,
+    statistic: str = "mean",
+    skipna: bool = False,
+    time_dim: str = "time",
+) -> xds.Dataset:
+  """Trailing rolling-window statistic; first window-1 entries are NaN."""
+  plain_fn, nan_fn = _STAT_FNS[statistic]
+  fn = nan_fn if skipna else plain_fn
+  out = xds.Dataset({}, coords=dict(ds.coords_dict()))
+  for name in ds.keys():
+    da = ds[name]
+    if time_dim not in da.dims:
+      out[name] = da
+      continue
+    ax = da.dims.index(time_dim)
+    vals = np.moveaxis(np.asarray(da.values, dtype=np.float64), ax, 0)
+    n = vals.shape[0]
+    res = np.full_like(vals, np.nan)
+    for t in range(window - 1, n):
+      res[t] = fn(vals[t - window + 1 : t + 1], axis=0)
+    out[name] = xds.DataArray(np.moveaxis(res, 0, ax), dims=da.dims)
+  return out
+
+
 def random_like(dataset: xds.Dataset, seed: int = 0) -> xds.Dataset:
   """Random normal dataset configured like `dataset`."""
   rs = np.random.RandomState(seed)

@@ -1,0 +1,201 @@
+"""Tests for the fused Pallas reduction kernels (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+from weatherbench2_tpu import metrics, ops, schema, utils, xds
+from weatherbench2_tpu.regions import ExtraTropicalRegion, SliceRegion
+
+
+def _setup(b=10, n_lon=12, n_lat=7, seed=0, nan_frac=0.0):
+  rs = np.random.RandomState(seed)
+  f = rs.randn(b, n_lon * n_lat).astype(np.float32)
+  t = rs.randn(b, n_lon * n_lat).astype(np.float32)
+  c = rs.randn(b, n_lon * n_lat).astype(np.float32)
+  if nan_frac:
+    f[rs.rand(*f.shape) < nan_frac] = np.nan
+    t[rs.rand(*t.shape) < nan_frac] = np.nan
+  lat = np.linspace(-90, 90, n_lat)
+  lon = np.linspace(0, 360, n_lon, endpoint=False)
+  w = metrics._cell_area_from_latitude(np.deg2rad(lat))
+  w = (w / w.mean()).astype(np.float32)
+  masks = [
+      np.ones((n_lat, n_lon)),
+      ExtraTropicalRegion().mask_weights(lat, lon),
+      SliceRegion(lat_slice=slice(-30, 30)).mask_weights(lat, lon),
+  ]
+  region_w = ops.make_region_weight_matrix(w, masks, n_lon)
+  return f, t, c, region_w, lat, w
+
+
+def test_pallas_matches_reference():
+  f, t, c, region_w, *_ = _setup()
+  sums_p, wsum_p, nanw_p = ops.fused_deterministic_sums(
+      f, t, c, region_w, b_tile=8, l_tile=128, interpret=True
+  )
+  sums_r, wsum_r, nanw_r = ops.fused_deterministic_sums_reference(
+      f.astype(np.float64), t.astype(np.float64), c.astype(np.float64),
+      region_w.astype(np.float64),
+  )
+  np.testing.assert_allclose(np.asarray(sums_p), sums_r, rtol=2e-5)
+  np.testing.assert_allclose(np.asarray(wsum_p), wsum_r, rtol=2e-5)
+  np.testing.assert_allclose(np.asarray(nanw_p), nanw_r, rtol=2e-5)
+
+
+def test_pallas_matches_reference_with_nans():
+  f, t, c, region_w, *_ = _setup(nan_frac=0.07)
+  sums_p, wsum_p, nanw_p = ops.fused_deterministic_sums(
+      f, t, c, region_w, b_tile=8, l_tile=256, interpret=True
+  )
+  sums_r, wsum_r, nanw_r = ops.fused_deterministic_sums_reference(
+      f.astype(np.float64), t.astype(np.float64), c.astype(np.float64),
+      region_w.astype(np.float64),
+  )
+  np.testing.assert_allclose(np.asarray(sums_p), sums_r, rtol=2e-4,
+                             atol=1e-5)
+  np.testing.assert_allclose(np.asarray(wsum_p), wsum_r, rtol=2e-5)
+  np.testing.assert_allclose(np.asarray(nanw_p), nanw_r, rtol=2e-5)
+
+
+def test_fused_metrics_match_metric_classes():
+  """The fused kernel must reproduce metrics.MSE/Bias/MAE/ACC exactly."""
+  truth = utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-11",
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=0,
+  )
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-11",
+          lead_stop="0 days",
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=1,
+  ).isel(prediction_timedelta=0)
+
+  n_lat, n_lon = 7, 12
+  lat = np.linspace(-90, 90, n_lat)
+  lon = np.linspace(0, 360, n_lon, endpoint=False)
+  w = metrics._cell_area_from_latitude(np.deg2rad(lat))
+  w = w / w.mean()
+  regions = {
+      "global": SliceRegion(),
+      "tropics": SliceRegion(lat_slice=slice(-20, 20)),
+      "extra-tropics": ExtraTropicalRegion(),
+  }
+  masks = [r.mask_weights(lat, lon) for r in regions.values()]
+  region_w = ops.make_region_weight_matrix(
+      w.astype(np.float32), masks, n_lon
+  )
+
+  fv = forecast["2m_temperature"].values.reshape(10, -1)
+  tv = truth["2m_temperature"].values.reshape(10, -1)
+  got = ops.fused_deterministic_metrics(
+      fv, tv, clim=None, region_w=region_w, use_pallas=True
+  )
+
+  for i, (rname, region) in enumerate(regions.items()):
+    mse = metrics.MSE().compute_chunk(forecast, truth, region=region)
+    np.testing.assert_allclose(
+        np.asarray(got["mse"])[i],
+        mse["2m_temperature"].values,
+        rtol=2e-5,
+    )
+    bias = metrics.Bias().compute_chunk(forecast, truth, region=region)
+    np.testing.assert_allclose(
+        np.asarray(got["bias"])[i],
+        bias["2m_temperature"].values,
+        rtol=2e-4, atol=1e-5,
+    )
+    mae = metrics.MAE().compute_chunk(forecast, truth, region=region)
+    np.testing.assert_allclose(
+        np.asarray(got["mae"])[i],
+        mae["2m_temperature"].values,
+        rtol=2e-5,
+    )
+
+
+def test_fused_acc_matches_metric_class():
+  truth = utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-11",
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=0,
+  )
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-11",
+          lead_stop="0 days",
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=1,
+  ).isel(prediction_timedelta=0)
+  clim_full = utils.random_like(
+      schema.mock_hourly_climatology_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=2,
+  )
+
+  acc_metric = metrics.ACC(climatology=clim_full)
+  want = acc_metric.compute_chunk(forecast, truth)
+
+  # align climatology per-time host-side, as the engine does
+  clim_aligned = metrics._align_climatology_to_forecast(
+      clim_full, forecast, truth
+  )
+  n_lat, n_lon = 7, 12
+  lat = np.linspace(-90, 90, n_lat)
+  w = metrics._cell_area_from_latitude(np.deg2rad(lat))
+  w = w / w.mean()
+  region_w = ops.make_region_weight_matrix(
+      w.astype(np.float32), [np.ones((n_lat, n_lon))], n_lon
+  )
+  fv = forecast["2m_temperature"].values.reshape(10, -1)
+  tv = truth["2m_temperature"].values.reshape(10, -1)
+  cv = clim_aligned["2m_temperature"].values.reshape(10, -1)
+  got = ops.fused_deterministic_metrics(
+      fv, tv, clim=cv, region_w=region_w, use_pallas=True
+  )
+  np.testing.assert_allclose(
+      np.asarray(got["acc"])[0],
+      want["2m_temperature"].values,
+      rtol=2e-5,
+  )
+
+
+def test_skipna_semantics():
+  f, t, c, region_w, *_ = _setup(nan_frac=0.05)
+  got_propagate = ops.fused_deterministic_metrics(
+      f, t, clim=c, region_w=region_w, skipna=False, use_pallas=True
+  )
+  # NaN present somewhere in every global-region row -> NaN
+  assert np.isnan(np.asarray(got_propagate["mse"])[0]).any()
+  got_skip = ops.fused_deterministic_metrics(
+      f, t, clim=c, region_w=region_w, skipna=True, use_pallas=True
+  )
+  assert np.isfinite(np.asarray(got_skip["mse"])).all()
+  # oracle for skipna=True global mse
+  valid = ~(np.isnan(f) | np.isnan(t) | np.isnan(c))
+  w_row = region_w[0]
+  err2 = np.where(valid, (np.nan_to_num(f) - np.nan_to_num(t)) ** 2, 0.0)
+  want = (err2 * w_row).sum(-1) / (valid * w_row).sum(-1)
+  np.testing.assert_allclose(
+      np.asarray(got_skip["mse"])[0], want, rtol=2e-4, atol=1e-6
+  )

@@ -347,11 +347,101 @@ class ACC(Metric):
   climatology: xds.Dataset
 
   def prepare_chunk(self, forecast, truth):
-    return _align_climatology_to_forecast(self.climatology, forecast, truth)
+    """Index-based preparation: the climatology stays resident on device;
+    only small (dayofyear, hour) gather indices are built per chunk.
+
+    This avoids materializing a chunk-shaped climatology on host and
+    re-shipping it to HBM every chunk (the gather runs on device inside
+    the fused program).
+    """
+    cache_key = (
+        tuple(sorted(truth.keys())),
+        tuple(np.asarray(forecast["level"].values).tolist())
+        if "level" in forecast.sizes
+        else None,
+    )
+    cached = getattr(self, "_clim_device_cache", None)
+    if cached is not None and cached[0] == cache_key:
+      clim = cached[1]
+      # indices still need per-chunk computation below
+      time_dim = "valid_time" if "init_time" in forecast.sizes else "time"
+      doy_vals = np.asarray(
+          self.climatology.coords_dict()["dayofyear"].data
+      )
+      indices = {"doy": xds.DataArray(
+          np.searchsorted(
+              doy_vals, forecast[time_dim].dt.dayofyear.values
+          ).astype(np.int32),
+          dims=forecast[time_dim].dims,
+      )}
+      if cached[2] is not None:
+        indices["hour"] = xds.DataArray(
+            np.searchsorted(
+                cached[2], forecast[time_dim].dt.hour.values
+            ).astype(np.int32),
+            dims=forecast[time_dim].dims,
+        )
+      return {"clim": clim, "indices": indices}
+
+    clim = _get_climatology_chunk(self.climatology, truth)
+    if "level" in forecast.sizes and "level" in clim.sizes:
+      lev_index = xds.Index(
+          np.asarray(clim.coords_dict()["level"].data)
+      )
+      lev_pos = lev_index.positions_for_labels(
+          np.asarray(forecast["level"].values)
+      )
+      clim = clim.isel(level=lev_pos)
+    time_dim = "valid_time" if "init_time" in forecast.sizes else "time"
+    doy_vals = np.asarray(
+        self.climatology.coords_dict()["dayofyear"].data
+    )
+    # strip the gathered-dim coords: under jit the gather indices are
+    # traced, and host-side coord arrays cannot be indexed by tracers
+    hour_coord = clim.coords_dict().get("hour")
+    clim = xds.Dataset(
+        dict(clim.variables_dict()),
+        coords={
+            k: v
+            for k, v in clim.coords_dict().items()
+            if not (set(v.dims) & {"dayofyear", "hour"})
+        },
+    )
+    if hour_coord is not None:
+      has_hour = True
+    else:
+      has_hour = False
+    doy_pos = np.searchsorted(
+        doy_vals, forecast[time_dim].dt.dayofyear.values
+    )
+    indices = {"doy": xds.DataArray(
+        doy_pos.astype(np.int32),
+        dims=forecast[time_dim].dims,
+    )}
+    hour_vals = np.asarray(hour_coord.data) if has_hour else None
+    if has_hour:
+      hour_pos = np.searchsorted(
+          hour_vals, forecast[time_dim].dt.hour.values
+      )
+      indices["hour"] = xds.DataArray(
+          hour_pos.astype(np.int32), dims=forecast[time_dim].dims
+      )
+    # move the climatology to device once and reuse it for all chunks
+    try:
+      clim = clim.to_jax()
+    except Exception:  # pragma: no cover - jax unavailable
+      pass
+    self._clim_device_cache = (cache_key, clim, hour_vals)
+    return {"clim": clim, "indices": indices}
 
   def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
                              skipna=False):
-    climatology_chunk = prepared
+    clim = prepared["clim"]
+    indices = prepared["indices"]
+    sel = {"dayofyear": indices["doy"]}
+    if "hour" in indices:
+      sel["hour"] = indices["hour"]
+    climatology_chunk = clim.isel(sel)
     forecast_anom = forecast - climatology_chunk
     truth_anom = truth - climatology_chunk
     return _spatial_average(

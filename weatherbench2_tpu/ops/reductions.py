@@ -1,0 +1,303 @@
+"""Fused multi-region weighted reduction kernels (Pallas TPU).
+
+The verification hot loop is `error-stat → ×(area weights × region mask) →
+spatial sum` for every metric × region (reference metrics.py:141-163 via the
+Beam map; SURVEY §6 north star).  Computed naively, each metric × region
+re-reads the forecast/truth chunk from HBM.  This kernel reads each chunk
+ONCE per grid tile into VMEM, computes all error statistics in registers,
+and reduces them against a (region, cell) weight matrix on the MXU:
+
+    sums[s, r, b] = Σ_l stat_s[b, l] · W[r, l]
+
+with W = area_weights × region_mask folded host-side — one matmul per stat
+while the tile is resident.  NaN handling supports both reference semantics:
+``skipna=False`` (NaN inside a region poisons that region's result, NaN
+outside is ignored — the reference's ``where(weights > 0, 0)`` guard) and
+``skipna=True`` (valid-weighted means).
+
+Statistics (per batch row b and region r), with a = f - clim, c = t - clim:
+    0: sum w·(f-t)        (bias)
+    1: sum w·(f-t)²       (mse)
+    2: sum w·|f-t|        (mae)
+    3: sum w·a·c          (ACC numerator)
+    4: sum w·a²           (ACC denominator, forecast)
+    5: sum w·c²           (ACC denominator, truth)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+STAT_NAMES = ("bias", "mse", "mae", "acc_num", "acc_fvar", "acc_tvar")
+N_STATS = len(STAT_NAMES)
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+  return -(-x // m) * m
+
+
+def make_region_weight_matrix(
+    lat_weights: np.ndarray,
+    region_masks: Sequence[np.ndarray],
+    n_lon: int,
+) -> np.ndarray:
+  """(R, n_lon*n_lat) matrix of area weights × region masks.
+
+  Args:
+    lat_weights: (n_lat,) normalized cell-area weights.
+    region_masks: list of (n_lat, n_lon) multiplicative masks.
+    n_lon: number of longitudes.
+  """
+  rows = []
+  for mask in region_masks:
+    w = lat_weights[None, :] * np.asarray(mask).T  # (n_lon, n_lat)
+    rows.append(w.ravel())
+  return np.asarray(rows, dtype=np.float32)
+
+
+def _compute_stats(f, t, clim, xp):
+  diff = f - t
+  a = f - clim
+  c = t - clim
+  return (
+      diff,
+      diff * diff,
+      xp.abs(diff),
+      a * c,
+      a * a,
+      c * c,
+  )
+
+
+def fused_deterministic_sums_reference(
+    forecast: np.ndarray,
+    truth: np.ndarray,
+    clim: np.ndarray,
+    region_w: np.ndarray,
+    xp=np,
+):
+  """XLA/numpy reference of the fused kernel (also the CPU fallback).
+
+  Args:
+    forecast, truth, clim: (B, L) arrays.
+    region_w: (R, L) weight matrix.
+
+  Returns:
+    sums: (N_STATS, R, B); wsum_valid: (R, B); nan_w: (R, B).
+  """
+  nan_mask = xp.isnan(forecast) | xp.isnan(truth) | xp.isnan(clim)
+  valid = (~nan_mask).astype(forecast.dtype)
+  f0 = xp.where(nan_mask, 0.0, forecast)
+  t0 = xp.where(nan_mask, 0.0, truth)
+  c0 = xp.where(nan_mask, 0.0, clim)
+  stats = _compute_stats(f0, t0, c0, xp)
+  sums = xp.stack([s @ region_w.T for s in stats]).transpose(0, 2, 1)
+  wsum_valid = (valid @ region_w.T).T
+  nan_w = (nan_mask.astype(forecast.dtype) @ (region_w > 0).astype(
+      forecast.dtype
+  ).T).T
+  return sums, wsum_valid, nan_w
+
+
+def _fused_kernel(f_ref, t_ref, c_ref, w_ref, wpos_ref,
+                  sums_ref, wsum_ref, nanw_ref):
+  """Pallas kernel body: one (batch-tile, cell-tile) step.
+
+  Grid is (n_batch_tiles, n_cell_tiles); the cell axis is accumulated into
+  the outputs (output blocks are indexed by the batch tile only).
+  """
+  import jax.numpy as jnp
+  from jax.experimental import pallas as pl
+
+  j = pl.program_id(1)
+
+  f = f_ref[:]
+  t = t_ref[:]
+  c = c_ref[:]
+  nan_mask = jnp.isnan(f) | jnp.isnan(t) | jnp.isnan(c)
+  valid = (~nan_mask).astype(jnp.float32)
+  f = jnp.where(nan_mask, 0.0, f)
+  t = jnp.where(nan_mask, 0.0, t)
+  c = jnp.where(nan_mask, 0.0, c)
+
+  w_t = w_ref[:].T  # (lT, R)
+  wpos_t = wpos_ref[:].T  # (lT, R)
+
+  diff = f - t
+  a = f - c
+  cc = t - c
+  stats = (diff, diff * diff, jnp.abs(diff), a * cc, a * a, cc * cc)
+
+  @pl.when(j == 0)
+  def _():
+    sums_ref[:] = jnp.zeros_like(sums_ref)
+    wsum_ref[:] = jnp.zeros_like(wsum_ref)
+    nanw_ref[:] = jnp.zeros_like(nanw_ref)
+
+  for s, stat in enumerate(stats):
+    part = jnp.dot(stat, w_t, preferred_element_type=jnp.float32)  # (bT, R)
+    sums_ref[s, :, :] += part.T
+  wsum_ref[:, :] += jnp.dot(
+      valid, w_t, preferred_element_type=jnp.float32
+  ).T
+  nanw_ref[:, :] += jnp.dot(
+      nan_mask.astype(jnp.float32), wpos_t,
+      preferred_element_type=jnp.float32,
+  ).T
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pallas_call(b_pad, l_pad, r_pad, b_tile, l_tile, interpret):
+  import jax
+  import jax.numpy as jnp
+  from jax.experimental import pallas as pl
+
+  try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    vmem = pltpu.VMEM
+  except ImportError:  # pragma: no cover
+    vmem = None
+
+  def spec(shape, index_map):
+    kwargs = {}
+    if vmem is not None and not interpret:
+      kwargs["memory_space"] = vmem
+    return pl.BlockSpec(shape, index_map, **kwargs)
+
+  grid = (b_pad // b_tile, l_pad // l_tile)
+  return pl.pallas_call(
+      _fused_kernel,
+      grid=grid,
+      in_specs=[
+          spec((b_tile, l_tile), lambda i, j: (i, j)),  # forecast
+          spec((b_tile, l_tile), lambda i, j: (i, j)),  # truth
+          spec((b_tile, l_tile), lambda i, j: (i, j)),  # clim
+          spec((r_pad, l_tile), lambda i, j: (0, j)),  # region weights
+          spec((r_pad, l_tile), lambda i, j: (0, j)),  # region >0 masks
+      ],
+      out_specs=[
+          spec((N_STATS, r_pad, b_tile), lambda i, j: (0, 0, i)),
+          spec((r_pad, b_tile), lambda i, j: (0, i)),
+          spec((r_pad, b_tile), lambda i, j: (0, i)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((N_STATS, r_pad, b_pad), jnp.float32),
+          jax.ShapeDtypeStruct((r_pad, b_pad), jnp.float32),
+          jax.ShapeDtypeStruct((r_pad, b_pad), jnp.float32),
+      ],
+      interpret=bool(interpret),
+  )
+
+
+def fused_deterministic_sums(
+    forecast,
+    truth,
+    clim=None,
+    region_w: Optional[np.ndarray] = None,
+    b_tile: int = 128,
+    l_tile: int = 1024,
+    interpret: Optional[bool] = None,
+):
+  """Fused multi-region weighted sums on TPU (Pallas).
+
+  Args:
+    forecast, truth: (B, L) float32 arrays (batch rows × flattened grid).
+    clim: optional (B, L) climatology (zeros if None; ACC stats then
+      degenerate to raw products).
+    region_w: (R, L) float32 region-weight matrix.
+    b_tile, l_tile: VMEM tile sizes (batch × cells).
+    interpret: force interpreter mode (default: auto — True off-TPU).
+
+  Returns:
+    sums (N_STATS, R, B), wsum_valid (R, B), nan_w (R, B).
+  """
+  import jax
+  import jax.numpy as jnp
+
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+
+  forecast = jnp.asarray(forecast, jnp.float32)
+  truth = jnp.asarray(truth, jnp.float32)
+  if clim is None:
+    clim = jnp.zeros_like(forecast)
+  else:
+    clim = jnp.asarray(clim, jnp.float32)
+
+  b, l = forecast.shape
+  r = region_w.shape[0]
+  # Mosaic requires the last two dims of every block be (8k, 128m)-aligned;
+  # the batch axis is the LAST dim of the output blocks, so tile it in
+  # multiples of 128.
+  b_tile = max(_LANE, _round_up(min(b_tile, b), _LANE))
+  l_tile = min(l_tile, _round_up(l, _LANE))
+  b_pad = _round_up(b, b_tile)
+  l_pad = _round_up(l, l_tile)
+  r_pad = _round_up(r, _SUBLANE)
+
+  def pad2(x, rows, cols):
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+  f_p = pad2(forecast, b_pad, l_pad)
+  t_p = pad2(truth, b_pad, l_pad)
+  c_p = pad2(clim, b_pad, l_pad)
+  w = jnp.asarray(region_w, jnp.float32)
+  w_p = pad2(w, r_pad, l_pad)
+  wpos_p = pad2((w > 0).astype(jnp.float32), r_pad, l_pad)
+
+  call = _build_pallas_call(
+      int(b_pad), int(l_pad), int(r_pad), int(b_tile), int(l_tile),
+      bool(interpret),
+  )
+  sums, wsum, nanw = call(f_p, t_p, c_p, w_p, wpos_p)
+  return sums[:, :r, :b], wsum[:r, :b], nanw[:r, :b]
+
+
+def fused_deterministic_metrics(
+    forecast,
+    truth,
+    clim=None,
+    region_w: Optional[np.ndarray] = None,
+    skipna: bool = False,
+    use_pallas: bool = True,
+):
+  """Latitude-weighted bias/mse/mae/acc per (region, batch row), fused.
+
+  Returns a dict of (R, B) arrays: bias, mse, mae (plus rmse) and, when
+  `clim` is given, acc.  Matches metrics._spatial_average semantics for
+  masked regions under both skipna modes.
+  """
+  import jax.numpy as jnp
+
+  if use_pallas:
+    sums, wsum, nanw = fused_deterministic_sums(
+        forecast, truth, clim, region_w
+    )
+  else:
+    sums, wsum, nanw = fused_deterministic_sums_reference(
+        jnp.asarray(forecast, jnp.float32),
+        jnp.asarray(truth, jnp.float32),
+        jnp.zeros_like(jnp.asarray(forecast, jnp.float32))
+        if clim is None
+        else jnp.asarray(clim, jnp.float32),
+        jnp.asarray(region_w, jnp.float32),
+        xp=jnp,
+    )
+  means = sums / wsum[None, :, :]
+  if not skipna:
+    means = jnp.where(nanw[None] > 0, jnp.nan, means)
+  out = {
+      "bias": means[0],
+      "mse": means[1],
+      "mae": means[2],
+      "rmse": jnp.sqrt(means[1]),
+  }
+  if clim is not None:
+    out["acc"] = means[3] / jnp.sqrt(means[4] * means[5])
+  return out

@@ -15,3 +15,27 @@ A from-scratch rebuild of the capabilities of google-research/weatherbench2
 __version__ = "0.1.0"
 
 from . import xds  # noqa: F401
+from . import schema  # noqa: F401
+from . import flag_utils  # noqa: F401
+
+
+def __getattr__(name):
+  # lazy imports to keep `import weatherbench2_tpu` light
+  import importlib
+
+  if name in (
+      "config",
+      "derived_variables",
+      "evaluation",
+      "metrics",
+      "ops",
+      "parallel",
+      "regions",
+      "regridding",
+      "thresholds",
+      "utils",
+      "visualization",
+      "test_utils",
+  ):
+    return importlib.import_module(f"weatherbench2_tpu.{name}")
+  raise AttributeError(name)

@@ -286,6 +286,7 @@ class Index:
     if self.values.ndim != 1:
       raise ValueError("index must be 1-d")
     self._lookup = None
+    self._sorted_cache = None
 
   def _get_lookup(self):
     if self._lookup is None:
@@ -293,6 +294,34 @@ class Index:
       for i, v in enumerate(self.values.tolist()):
         self._lookup.setdefault(v, i)
     return self._lookup
+
+  def _sorted_view(self):
+    """(sorted values, argsort order) for vectorized exact lookups."""
+    if self._sorted_cache is None:
+      vals = self.values
+      if vals.dtype.kind in ("M", "m"):
+        vals = vals.astype(np.int64)
+      order = np.argsort(vals, kind="stable")
+      self._sorted_cache = (vals[order], order, vals)
+    return self._sorted_cache
+
+  def _positions_vectorized(self, flat: np.ndarray):
+    """Exact label positions via searchsorted; None if dtype unsuitable."""
+    if self.values.dtype.kind not in ("M", "m", "i", "u"):
+      return None
+    sorted_vals, order, _ = self._sorted_view()
+    q = flat.astype(np.int64, copy=False) if flat.dtype.kind in (
+        "M", "m"
+    ) else flat
+    if q.dtype.kind not in ("i", "u"):
+      return None
+    pos = np.searchsorted(sorted_vals, q)
+    pos_clipped = np.minimum(pos, len(sorted_vals) - 1)
+    found = sorted_vals[pos_clipped] == q
+    if not found.all():
+      missing = np.asarray(flat)[~found]
+      raise KeyError(f"label {missing.ravel()[0]!r} not found in index")
+    return order[pos_clipped]
 
   def positions_for_labels(self, labels, method=None, tolerance=None):
     """Resolve an array of labels to integer positions."""
@@ -327,6 +356,10 @@ class Index:
           )
       result = pos
     else:
+      fast = self._positions_vectorized(flat.ravel())
+      if fast is not None:
+        result = fast.reshape(labels.shape)
+        return int(result) if labels.ndim == 0 else result
       lookup = self._get_lookup()
       result = np.empty(flat.size, dtype=np.int64)
       for i, v in enumerate(flat.ravel().tolist()):

@@ -495,7 +495,6 @@ def _build_baseline_forecast(
     if "hour" in probabilistic_climatology.sizes:
       sel["hour"] = forecast[time_dim].dt.hour
     new_forecast = probabilistic_climatology[names].sel(sel)
-    new_forecast = new_forecast.rename({"number": "realization"})
     for cn, cv in forecast.coords_dict().items():
       if cn not in new_forecast.coords_dict():
         new_forecast = new_forecast.assign_coords({cn: cv})

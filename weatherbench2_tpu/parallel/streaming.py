@@ -507,7 +507,7 @@ def _make_truth_chunk(
     sel = dict(dayofyear=f_chunk[time_dim].dt.dayofyear)
     if "hour" in prob_clim.sizes:
       sel["hour"] = f_chunk[time_dim].dt.hour
-    new_f = prob_clim[names].sel(sel).rename({"number": "realization"})
+    new_f = prob_clim[names].sel(sel)
     for cn, cv in f_chunk.coords_dict().items():
       if cn not in new_f.coords_dict():
         new_f = new_f.assign_coords({cn: cv})

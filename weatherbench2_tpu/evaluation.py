@@ -590,12 +590,16 @@ def evaluate_with_mesh(
   del fanout, shuffle_before_temporal_mean, num_threads, runner, argv
   from weatherbench2_tpu.parallel import streaming
 
+  import time as _time
+
   input_chunks = dict(input_chunks or {})
   for eval_name, eval_config in eval_configs.items():
     logging.info(f"Eval config: {eval_name}")
+    _t0 = _time.perf_counter()
     forecast, truth, climatology = open_forecast_and_truth_datasets(
         data_config, eval_config
     )
+    streaming._vlog(f"open+select [{_time.perf_counter() - _t0:.2f}s]")
     results = streaming.evaluate_streaming(
         forecast=forecast,
         truth=truth,

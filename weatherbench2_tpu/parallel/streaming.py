@@ -280,6 +280,33 @@ def evaluate_streaming(
   counts_acc = state.counts
   nontemporal_results = []
 
+  def _prepare_one(ci, sl, lead_sl):
+    """Host-side work for one chunk: slice, align, derive, prepare, pad."""
+    f_chunk = forecast.isel({chunk_dim: sl})
+    if lead_sl != slice(None):
+      f_chunk = f_chunk.isel(lead_time=lead_sl)
+    n_real = f_chunk.sizes[chunk_dim]
+    target = chunk_size if eval_config.temporal_mean else (
+        -(-n_real // batch) * batch if mesh is not None else n_real
+    )
+    f_chunk = _pad_chunk(f_chunk, chunk_dim, target)
+    time_mask = np.zeros(target, dtype=np.float64)
+    time_mask[:n_real] = 1.0
+    f_chunk, t_chunk = _make_truth_chunk(
+        f_chunk, truth, climatology, prob_clim, eval_config, data_config
+    )
+    for dname, dv in eval_config.derived_variables.items():
+      f_chunk[dname] = dv.compute(f_chunk)
+      t_chunk[dname] = dv.compute(t_chunk)
+    prepared = {
+        name: m.prepare_chunk(f_chunk, t_chunk)
+        for name, m in jit_metrics.items()
+    }
+    f_dev = _to_device(_normalize_any(f_chunk, chunk_dim), sharding_fn)
+    t_dev = _to_device(_normalize_any(t_chunk, chunk_dim), sharding_fn)
+    p_dev = _to_device(_normalize_any(prepared, chunk_dim), sharding_fn)
+    return ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev, time_mask
+
   lead_results = []
   lead_slices = (
       list(_chunk_slices(forecast.sizes["lead_time"], lead_chunk))
@@ -293,93 +320,77 @@ def evaluate_streaming(
     else:
       sums_acc = None
       counts_acc = None
-    chunk_list = list(_chunk_slices(total, chunk_size))
-    for ci, sl in enumerate(chunk_list):
-      if ci < state.chunk_index and len(lead_slices) == 1:
-        continue  # resumed past this chunk
-      f_chunk = forecast.isel({chunk_dim: sl})
-      if lead_sl != slice(None):
-        f_chunk = f_chunk.isel(lead_time=lead_sl)
-      n_real = f_chunk.sizes[chunk_dim]
-      # Pad every chunk to the full chunk size so all chunks share ONE
-      # compiled trace (compiles are expensive on remote TPU backends).
-      target = chunk_size if eval_config.temporal_mean else (
-          -(-n_real // batch) * batch if mesh is not None else n_real
-      )
-      f_chunk = _pad_chunk(f_chunk, chunk_dim, target)
-      time_mask = np.zeros(target, dtype=np.float64)
-      time_mask[:n_real] = 1.0
+    chunk_list = [
+        (ci, sl)
+        for ci, sl in enumerate(_chunk_slices(total, chunk_size))
+        if not (ci < state.chunk_index and len(lead_slices) == 1)
+    ]
 
-      t0 = time.perf_counter()
-      f_chunk, t_chunk = _make_truth_chunk(
-          f_chunk, truth, climatology, prob_clim, eval_config, data_config
-      )
-      _vlog(f"chunk {ci}: truth align", t0)
+    # Prefetch pipeline: host-side slicing/alignment/prepare/h2d-dispatch
+    # for chunk i+1 overlaps the device execution of chunk i.
+    import concurrent.futures as _futures
 
-      # derived variables (eager; full lead axis resident per chunk)
-      for dname, dv in eval_config.derived_variables.items():
-        f_chunk[dname] = dv.compute(f_chunk)
-        t_chunk[dname] = dv.compute(t_chunk)
-
-      # host-side, coordinate-dependent preparation
-      t0 = time.perf_counter()
-      prepared = {
-          name: m.prepare_chunk(f_chunk, t_chunk)
-          for name, m in jit_metrics.items()
-      }
-      _vlog(f"chunk {ci}: prepare", t0)
-
-      # normalize + ship to device
-      f_norm = _normalize_any(f_chunk, chunk_dim)
-      t_norm = _normalize_any(t_chunk, chunk_dim)
-      p_norm = _normalize_any(prepared, chunk_dim)
-      t0 = time.perf_counter()
-      f_dev = _to_device(f_norm, sharding_fn)
-      t_dev = _to_device(t_norm, sharding_fn)
-      p_dev = _to_device(p_norm, sharding_fn)
-      _vlog(f"chunk {ci}: h2d dispatch", t0)
-
-      t0 = time.perf_counter()
-      sums, counts = chunk_program_jit(
-          f_dev, t_dev, p_dev, jnp.asarray(time_mask)
-      )
-      _vlog(f"chunk {ci}: program dispatch", t0)
-
-      # host metrics (e.g. RankHistogram) evaluated eagerly
-      for name, metric in host_metrics.items():
-        res = _eval_host_metric(
-            metric, f_chunk, t_chunk, regions, skipna, n_real, chunk_dim,
-            eval_config.temporal_mean,
+    pool = _futures.ThreadPoolExecutor(max_workers=1)
+    pending = None
+    try:
+      for idx, (ci, sl) in enumerate(chunk_list):
+        if pending is None:
+          pending = pool.submit(_prepare_one, ci, sl, lead_sl)
+        t0 = time.perf_counter()
+        (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
+         time_mask) = pending.result()
+        _vlog(f"chunk {ci}: host prepare + h2d", t0)
+        pending = (
+            pool.submit(_prepare_one, *chunk_list[idx + 1], lead_sl)
+            if idx + 1 < len(chunk_list)
+            else None
         )
-        sums[name], counts[name] = res
 
-      if eval_config.temporal_mean:
-        if sums_acc is None:
-          sums_acc, counts_acc = sums, counts
+        t0 = time.perf_counter()
+        sums, counts = chunk_program_jit(
+            f_dev, t_dev, p_dev, jnp.asarray(time_mask)
+        )
+        _vlog(f"chunk {ci}: program dispatch", t0)
+
+        # host metrics (e.g. RankHistogram) evaluated eagerly
+        for name, metric in host_metrics.items():
+          res = _eval_host_metric(
+              metric, f_chunk, t_chunk, regions, skipna, n_real, chunk_dim,
+              eval_config.temporal_mean,
+          )
+          sums[name], counts[name] = res
+
+        if eval_config.temporal_mean:
+          if sums_acc is None:
+            sums_acc, counts_acc = sums, counts
+          else:
+            sums_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b, sums_acc, sums
+            )
+            counts_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b, counts_acc, counts
+            )
         else:
-          sums_acc = jax.tree_util.tree_map(
-              lambda a, b: a + b, sums_acc, sums
-          )
-          counts_acc = jax.tree_util.tree_map(
-              lambda a, b: a + b, counts_acc, counts
-          )
-      else:
-        # un-padded per-time results with original coords restored
-        for name in sums:
-          res = sums[name]
-          res = res.isel({chunk_dim: np.arange(n_real)})
-          res = res.assign_coords({
-              chunk_dim: np.asarray(
-                  forecast.coords_dict()[chunk_dim].data
-              )[sl]
-          })
-          nontemporal_results.append((name, ci, res))
+          # un-padded per-time results with original coords restored
+          for name in sums:
+            res = sums[name]
+            res = res.isel({chunk_dim: np.arange(n_real)})
+            res = res.assign_coords({
+                chunk_dim: np.asarray(
+                    forecast.coords_dict()[chunk_dim].data
+                )[sl]
+            })
+            nontemporal_results.append((name, ci, res))
 
-      state.chunk_index = ci + 1
-      if checkpoint_path and checkpoint_every and (
-          (ci + 1) % checkpoint_every == 0
-      ):
-        StreamingState(sums_acc, counts_acc, ci + 1).save(checkpoint_path)
+        state.chunk_index = ci + 1
+        if checkpoint_path and checkpoint_every and (
+            (ci + 1) % checkpoint_every == 0
+        ):
+          StreamingState(sums_acc, counts_acc, ci + 1).save(
+              checkpoint_path
+          )
+    finally:
+      pool.shutdown(wait=True)
 
     if eval_config.temporal_mean:
       # fetch all accumulators to host in one batched device_get

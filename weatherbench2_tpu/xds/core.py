@@ -1194,6 +1194,21 @@ def _resolve_label_indexer(index: Index, label, method, tolerance):
   return pos, None, None
 
 
+def _as_slice_if_contiguous(arr: np.ndarray):
+  """Convert a contiguous ascending index array to a cheap (view) slice."""
+  if arr.ndim != 1 or arr.size == 0 or arr.dtype.kind not in ("i", "u"):
+    return arr
+  start = int(arr[0])
+  if arr.size == 1:
+    return slice(start, start + 1)
+  step = int(arr[1]) - start
+  if step <= 0:
+    return arr
+  if np.array_equal(arr, np.arange(start, start + step * arr.size, step)):
+    return slice(start, start + step * (arr.size - 1) + 1, step)
+  return arr
+
+
 def _isel_impl(obj, indexers, drop=False):
   """Positional selection on DataArray or Dataset."""
   # Normalize: split into basic (slice/scalar/1d-on-own-dim) vs vectorized
@@ -1202,8 +1217,8 @@ def _isel_impl(obj, indexers, drop=False):
   for d, idx in indexers.items():
     if isinstance(idx, (DataArray, Variable)):
       var = idx.variable if isinstance(idx, DataArray) else idx
-      if var.ndim == 1 and var.dims == (d,):
-        basic[d] = _to_numpy(var.data)
+      if var.ndim == 1 and var.dims == (d,) and not _is_jax(var.data):
+        basic[d] = _as_slice_if_contiguous(_to_numpy(var.data))
       else:
         vec[d] = var
     else:
@@ -1211,7 +1226,9 @@ def _isel_impl(obj, indexers, drop=False):
       if isinstance(arr, slice):
         basic[d] = arr
       elif arr.ndim <= 1:
-        basic[d] = arr if arr.ndim else int(arr)
+        basic[d] = (
+            _as_slice_if_contiguous(arr) if arr.ndim else int(arr)
+        )
       else:
         vec[d] = Variable((f"__i{d}",), arr)  # unlikely path
   if isinstance(obj, Dataset):

@@ -166,6 +166,22 @@ def evaluate_streaming(
   import jax
   import jax.numpy as jnp
 
+  # Persistent compilation cache: metric programs are compiled remotely on
+  # some backends (tens of seconds); identical eval configs reuse them.
+  if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("WB2_COMPILE_CACHE", "/tmp/wb2_jax_compile_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+  # Optional profiling hook (SURVEY §5: the reference has no tracing; we
+  # add jax.profiler + phase timing). Set WB2_PROFILE_DIR to capture a
+  # trace of the streaming evaluation.
+  profile_dir = os.environ.get("WB2_PROFILE_DIR")
+  if profile_dir:
+    jax.profiler.start_trace(profile_dir)
+
   by_init = data_config.by_init
   chunk_dim = "init_time" if by_init else "time"
   total = forecast.sizes[chunk_dim]
@@ -418,6 +434,9 @@ def evaluate_streaming(
         )
       lead_results.append(merge_metric_results(per_metric))
       nontemporal_results = []
+
+  if profile_dir:
+    jax.profiler.stop_trace()
 
   if len(lead_results) == 1:
     return lead_results[0]

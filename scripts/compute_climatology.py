@@ -65,6 +65,10 @@ SEEPS_DRY_THRESHOLD_MM = flag_utils.DEFINE_string(
 RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
 NUM_THREADS = flag_utils.DEFINE_integer(
     "num_threads", None, help="(accepted for compatibility; unused)")
+USE_DEVICE = flag_utils.DEFINE_bool(
+    "use_device", False,
+    "Compute mean/std/quantile statistics on the accelerator (circulant "
+    "matmul windows + device sorts) instead of host numpy.")
 
 
 class Quantile:
@@ -152,8 +156,92 @@ class SEEPSThreshold:
     )
 
 
+def _stack_years(obs: xds.Dataset, name: str) -> np.ndarray:
+  """(year, 366, *pixels) array with day 366 filled from day 365."""
+  years = np.unique(obs["time"].dt.year.values)
+  all_doys = np.arange(1, 367)
+  per_year = [
+      utils.reindex_with_nan(
+          utils.replace_time_with_doy(obs.sel(time=str(y))),
+          "dayofyear",
+          all_doys,
+      )[name].values
+      for y in years
+  ]
+  stacked = np.stack(per_year).astype(np.float32)
+  gap = np.isnan(stacked[:, 365])
+  stacked[:, 365] = np.where(gap, stacked[:, 364], stacked[:, 365])
+  return stacked
+
+
+def _compute_stat_device(obs_tile: xds.Dataset, statistic, quantiles):
+  """Device (TPU) path for mean/std/quantile, mirroring the host output."""
+  from weatherbench2_tpu.ops import climatology as dev_clim
+
+  clim_years = slice(str(START_YEAR.value), str(END_YEAR.value))
+  window_weights = utils.create_window_weights(WINDOW_SIZE.value)
+
+  if FREQUENCY.value == "hourly":
+    hours = np.arange(0, 24, HOUR_INTERVAL.value)
+    subsets = [
+        utils.select_hour(obs_tile.sel(time=clim_years), int(h))
+        for h in hours
+    ]
+  else:
+    hours = None
+    subsets = [utils.resample_daily_mean(obs_tile.sel(time=clim_years))]
+
+  out = xds.Dataset({}, coords={
+      k: v
+      for k, v in obs_tile.coords_dict().items()
+      if "time" not in v.dims
+  })
+  for name in obs_tile.keys():
+    per_hour = []
+    for sub in subsets:
+      stacked = _stack_years(sub, name)
+      if statistic == "quantile":
+        res = dev_clim.device_window_quantile(
+            stacked, WINDOW_SIZE.value, quantiles,
+            window_weights=window_weights.values,
+        )
+      else:
+        res = dev_clim.device_rolling_clim(
+            stacked, window_weights.values, statistic
+        )
+      per_hour.append(np.asarray(res))
+    rest_dims = tuple(
+        d for d in obs_tile[name].dims if d != "time"
+    )
+    if statistic == "quantile":
+      if hours is not None:
+        data = np.stack(per_hour, axis=1)  # (Q, hour, doy, ...)
+        dims = ("quantile", "hour", "dayofyear") + rest_dims
+      else:
+        data = per_hour[0]
+        dims = ("quantile", "dayofyear") + rest_dims
+    else:
+      if hours is not None:
+        data = np.stack(per_hour, axis=0)  # (hour, doy, ...)
+        dims = ("hour", "dayofyear") + rest_dims
+      else:
+        data = per_hour[0]
+        dims = ("dayofyear",) + rest_dims
+    out[name] = xds.Variable(dims, data)
+  out = out.assign_coords(dayofyear=np.arange(1, 367))
+  if hours is not None:
+    out = out.assign_coords(hour=hours)
+  if statistic == "quantile":
+    out = out.assign_coords(quantile=np.asarray(quantiles, dtype=float))
+  return out
+
+
 def _compute_stat(obs_tile: xds.Dataset, statistic, quantiles):
   """Dispatch one statistic on one spatial tile."""
+  if USE_DEVICE.value and statistic in ("mean", "std", "quantile"):
+    if METHOD.value != "explicit":
+      raise NotImplementedError("--use_device requires --method=explicit")
+    return _compute_stat_device(obs_tile, statistic, quantiles)
   clim_years = slice(str(START_YEAR.value), str(END_YEAR.value))
   kwargs = dict(
       obs=obs_tile,

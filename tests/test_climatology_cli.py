@@ -164,6 +164,44 @@ def test_weighted_quantile_respects_weights():
   assert q_h > q_u
 
 
+def test_device_path_matches_host(tmp_path):
+  """--use_device (circulant matmuls + device sorts) == host numpy path."""
+  in_path, obs = _input_data(tmp_path)
+  out_host = str(tmp_path / "host.zarr")
+  out_dev = str(tmp_path / "dev.zarr")
+  common = dict(
+      input_path=in_path,
+      frequency="hourly",
+      hour_interval=12,
+      window_size=15,
+      start_year=2019,
+      end_year=2020,
+      statistics=["mean", "std", "quantile"],
+      quantiles=["0.25", "0.9"],
+  )
+  with flagsaver.flagsaver(output_path=out_host, **common):
+    compute_climatology.main([])
+  with flagsaver.flagsaver(output_path=out_dev, use_device=True, **common):
+    compute_climatology.main([])
+  a = xds.open_zarr(out_host)
+  b = xds.open_zarr(out_dev)
+  for name in a.keys():
+    da, db = a[name], b[name]
+    db = db.transpose(*da.dims)
+    if name.endswith("_quantile"):
+      # device quantiles interpolate with f32 cumulative-weight positions;
+      # a ~1e-7 position rounding can flip to the adjacent order statistic
+      # for borderline points, so compare with an order-statistic-gap bound
+      diff = np.abs(da.values - db.values)
+      close = diff <= 5e-3 * np.abs(db.values) + 5e-4
+      assert close.mean() > 0.995, f"{name}: {1 - close.mean():.4%} off"
+      assert diff.max() < 0.3, f"{name}: max diff {diff.max()}"
+    else:
+      np.testing.assert_allclose(
+          da.values, db.values, rtol=5e-3, atol=5e-4, err_msg=name
+      )
+
+
 def test_working_chunks_tiling(tmp_path):
   in_path, obs = _input_data(tmp_path)
   out_full = str(tmp_path / "full.zarr")

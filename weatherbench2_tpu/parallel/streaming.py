@@ -135,6 +135,144 @@ class StreamingState:
                chunk_index=d["chunk_index"])
 
 
+def _build_fused_plan(jit_metrics, regions, forecast):
+  """Detect deterministic metric suites that can run through the fused
+  multi-region reduction kernel (weatherbench2_tpu.ops): one HBM pass per
+  chunk computing every metric × region, instead of one reduction per
+  metric × region.  Returns None when the config doesn't qualify."""
+  if os.environ.get("WB2_FUSED", "1") == "0":
+    return None
+  from weatherbench2_tpu import metrics as m
+
+  stat_of = {}
+  acc_name = None
+  for name, metric in jit_metrics.items():
+    if type(metric) is m.MSE and not metric.wind_vector_mse:
+      stat_of[name] = "mse"
+    elif type(metric) is m.Bias:
+      stat_of[name] = "bias"
+    elif type(metric) is m.MAE:
+      stat_of[name] = "mae"
+    elif type(metric) is m.RMSESqrtBeforeTimeAvg and (
+        not metric.wind_vector_rmse
+    ):
+      stat_of[name] = "rmse"
+    elif type(metric) is m.ACC:
+      stat_of[name] = "acc"
+      acc_name = name
+    else:
+      return None
+  if not stat_of:
+    return None
+  if None in regions:
+    return None
+  coords = forecast.coords_dict()
+  if "latitude" not in coords or "longitude" not in coords:
+    return None
+  for v in forecast.variables_dict().values():
+    if "latitude" not in v.dims or "longitude" not in v.dims:
+      return None
+  lat = np.asarray(coords["latitude"].data)
+  lon = np.asarray(coords["longitude"].data)
+  w = m._cell_area_from_latitude(np.deg2rad(lat))
+  w = (w / w.mean()).astype(np.float32)
+  try:
+    masks = [r.mask_weights(lat, lon) for r in regions.values()]
+  except (NotImplementedError, KeyError, ValueError):
+    return None
+  from weatherbench2_tpu import ops
+
+  region_w = ops.make_region_weight_matrix(w, masks, len(lon))
+  return {
+      "stat_of": stat_of,
+      "acc_name": acc_name,
+      "region_names": np.asarray(list(regions.keys()), dtype=object),
+      "region_w": region_w,
+      "use_pallas": os.environ.get("WB2_USE_PALLAS", "0") == "1",
+  }
+
+
+def _fused_chunk_results(plan, f_c, t_c, prepared, skipna):
+  """Per-time metric values for all fused metrics, dims (region, ...)."""
+  import jax.numpy as jnp
+
+  from weatherbench2_tpu import ops
+
+  stat_idx = {"bias": 0, "mse": 1, "mae": 2}
+  region_w = jnp.asarray(plan["region_w"])
+  n_regions = plan["region_w"].shape[0]
+
+  clim_gathered = None
+  if plan["acc_name"] is not None:
+    p = prepared[plan["acc_name"]]
+    sel = {"dayofyear": p["indices"]["doy"]}
+    if "hour" in p["indices"]:
+      sel["hour"] = p["indices"]["hour"]
+    clim_gathered = p["clim"].isel(sel)
+
+  results = {
+      name: xds.Dataset(
+          {}, coords={"region": plan["region_names"]}
+      )
+      for name in plan["stat_of"]
+  }
+  for v in f_c.keys():
+    fvar = f_c.variables_dict()[v]
+    tvar = t_c.variables_dict()[v]
+    operands = [fvar, tvar]
+    if clim_gathered is not None:
+      operands.append(clim_gathered.variables_dict()[v])
+    all_dims = xds.broadcast_dims_order(*(o.dims for o in operands))
+    # spatial dims last, (lon, lat) order to match the weight matrix
+    other = [d for d in all_dims if d not in ("longitude", "latitude")]
+    all_dims = tuple(other) + ("longitude", "latitude")
+    sizes = {}
+    for o in operands:
+      sizes.update(o.sizes)
+    f_b = fvar.broadcast_to_dims(all_dims, sizes, xp=jnp).data
+    t_b = tvar.broadcast_to_dims(all_dims, sizes, xp=jnp).data
+    if clim_gathered is not None:
+      c_b = operands[2].broadcast_to_dims(all_dims, sizes, xp=jnp).data
+    else:
+      c_b = jnp.zeros_like(f_b)
+    other_shape = f_b.shape[:-2]
+    l = f_b.shape[-2] * f_b.shape[-1]
+    b = int(np.prod(other_shape)) if other_shape else 1
+    f2 = f_b.reshape(b, l)
+    t2 = t_b.reshape(b, l)
+    c2 = c_b.reshape(b, l)
+    if plan["use_pallas"]:
+      sums, wsum, nanw = ops.fused_deterministic_sums(
+          f2, t2, c2, plan["region_w"]
+      )
+    else:
+      sums, wsum, nanw = ops.fused_deterministic_sums_reference(
+          f2, t2, c2, region_w, xp=jnp
+      )
+    means = sums / wsum[None]
+    if not skipna:
+      means = jnp.where(nanw[None] > 0, jnp.nan, means)
+    out_dims = ("region",) + tuple(other)
+    coords = {
+        k: cv
+        for k, cv in f_c.coords_dict().items()
+        if set(cv.dims) <= set(other)
+    }
+    coords["region"] = xds.Variable(("region",), plan["region_names"])
+    for name, stat in plan["stat_of"].items():
+      if stat == "rmse":
+        arr = jnp.sqrt(means[stat_idx["mse"]])
+      elif stat == "acc":
+        arr = means[3] / jnp.sqrt(means[4] * means[5])
+      else:
+        arr = means[stat_idx[stat]]
+      arr = arr.reshape((n_regions,) + other_shape)
+      results[name][v] = xds.DataArray(
+          xds.Variable(out_dims, arr), coords=coords, name=v
+      )
+  return results
+
+
 def _chunk_slices(total: int, size: int):
   for start in range(0, total, size):
     yield slice(start, min(start + size, total))
@@ -212,9 +350,24 @@ def evaluate_streaming(
   }
   regions = eval_config.regions or {None: None}
 
+  fused_plan = _build_fused_plan(jit_metrics, regions, forecast)
+
   # ---- the fused per-chunk program (jit) ----------------------------------
   def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
     """Evaluate all jit metrics × regions; reduce over the chunk dim."""
+    if fused_plan is not None:
+      results = _fused_chunk_results(
+          fused_plan, forecast_c, truth_c, prepared_by_metric, skipna
+      )
+      sums = {}
+      counts = {}
+      for name, result in results.items():
+        if eval_config.temporal_mean:
+          s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
+          sums[name], counts[name] = s, c
+        else:
+          sums[name], counts[name] = result, None
+      return sums, counts
     sums = {}
     counts = {}
     for name, metric in jit_metrics.items():

@@ -238,6 +238,8 @@ def build_eval_configs(climatology, regions, threshold_list) -> dict:
         ("seeps_24hr", "total_precipitation_24hr", 0.25),
         ("seeps_6hr", "total_precipitation_6hr", 0.1),
     ]:
+      if f"{precip}_seeps_threshold" not in climatology:
+        continue  # climatology lacks SEEPS stats for this accumulation
       deterministic_metrics[name] = metrics.SEEPS(
           climatology=climatology, precip_name=precip,
           dry_threshold_mm=thresh,

@@ -1,7 +1,9 @@
-"""Configuration dataclasses (Selection/Paths/Data/Eval/Viz/Panel).
+"""Configuration dataclasses for the TPU verification engine.
 
-Field-for-field parity with /root/reference/weatherbench2/config.py:28-169
-so reference configs translate directly.
+The public fields intentionally match the reference WeatherBench 2 config
+API (reference config.py:28-169) so existing configs translate directly;
+the semantics notes below describe how each knob maps onto this engine's
+streaming/jit execution model.
 """
 import dataclasses
 import typing as t
@@ -13,15 +15,14 @@ from weatherbench2_tpu.regions import Region
 
 @dataclasses.dataclass
 class Selection:
-  """Select a sub-set of forecast and truth data.
+  """Subset of forecast/truth data to evaluate.
 
-  Attributes:
-    variables: List of variables to evaluate.
-    time_slice: Range of time/init_time to use from forecast.
-    levels: List of pressure levels.
-    lat_slice: Latitude range in degrees.
-    lon_slice: Longitude range in degrees.
-    aux_variables: Auxiliary forecast variables required for some metrics.
+  ``variables`` and ``levels`` select data variables and pressure levels;
+  ``time_slice`` bounds init_time (by-init) or time (by-valid);
+  ``lat_slice``/``lon_slice`` crop the grid; ``aux_variables`` are extra
+  forecast-only inputs some metrics need (e.g. ``<var>_std`` for Gaussian
+  scores).  Selection happens host-side before streaming; on device all
+  shapes are static.
   """
 
   variables: t.Sequence[str]
@@ -38,7 +39,7 @@ class Selection:
 
 @dataclasses.dataclass
 class Paths:
-  """Input and output paths."""
+  """Zarr input locations and the results output directory."""
 
   forecast: str
   obs: str
@@ -49,7 +50,13 @@ class Paths:
 
 @dataclasses.dataclass
 class Data:
-  """Data configuration combining Selection and Paths."""
+  """Bundles a Selection with Paths plus forecast-format switches.
+
+  ``by_init`` picks the time convention (see schema.apply_time_conventions);
+  ``rename_variables`` maps source names onto WB2 conventions;
+  ``pressure_level_suffixes`` decodes ``geopotential_500``-style variables
+  into a level dimension on open.
+  """
 
   selection: Selection
   paths: Paths
@@ -60,10 +67,26 @@ class Data:
 
 @dataclasses.dataclass
 class Eval:
-  """Evaluation configuration.
+  """One evaluation job: the metric set and how to run it.
 
-  Attributes mirror the reference (config.py:96-137); `use_mesh` is the
-  TPU-native addition selecting the sharded streaming engine.
+  ``metrics`` maps result names to Metric instances (these become the
+  ``metric`` coordinate of the results dataset); ``regions`` maps names to
+  Region selectors (the ``region`` coordinate).  On the streaming engine
+  every metric × region evaluates inside one jit-compiled program per
+  chunk; deterministic suites additionally collapse into a single fused
+  multi-region reduction.
+
+  Baseline-forecast switches replace the forecast before scoring:
+  ``evaluate_climatology`` (deterministic climatology),
+  ``evaluate_probabilistic_climatology`` (years-as-ensemble over
+  ``probabilistic_climatology_{start,end}_year`` at
+  ``probabilistic_climatology_hour_interval``), ``evaluate_persistence``
+  (truth at init time).  ``against_analysis`` scores against the
+  forecast's own lead-0 field instead of obs.
+
+  ``temporal_mean=False`` keeps per-(init_)time results instead of the
+  running (sum, count) temporal mean.  ``output_format`` is ``netcdf`` or
+  ``zarr``.
   """
 
   metrics: t.Dict[str, Metric]
@@ -81,10 +104,23 @@ class Eval:
   temporal_mean: t.Optional[bool] = True
   output_format: str = "netcdf"
 
+  def validate(self) -> None:
+    """Raise on obviously inconsistent settings."""
+    if self.evaluate_probabilistic_climatology:
+      if (
+          self.probabilistic_climatology_start_year is None
+          or self.probabilistic_climatology_end_year is None
+      ):
+        raise ValueError(
+            "probabilistic climatology requires start and end years"
+        )
+    if self.output_format not in ("netcdf", "zarr"):
+      raise ValueError(f"unrecognized output_format {self.output_format!r}")
+
 
 @dataclasses.dataclass
 class Viz:
-  """Visualization configuration."""
+  """Visualization job configuration (see visualization.py)."""
 
   results: t.Dict[str, str]
   save_kwargs: t.Dict[str, t.Any] = dataclasses.field(default_factory=dict)
@@ -100,7 +136,7 @@ class Viz:
 
 @dataclasses.dataclass
 class Panel:
-  """Config for each visualization panel."""
+  """One panel of a timeseries figure: what to plot and how to label it."""
 
   metric: str
   variable: str

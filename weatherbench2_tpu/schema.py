@@ -65,7 +65,14 @@ def mock_truth_data(
     time_resolution: str = "1 day",
     dtype=np.float32,
 ) -> xds.Dataset:
-  """Create a mock truth dataset with all zeros for testing."""
+  """All-zero ground-truth dataset with correct dims/coords for tests.
+
+  The grid is equiangular with poles: ``round(180/res)+1`` latitudes from
+  -90..90 and ``round(360/res)`` longitudes from 0 (exclusive of 360).
+  3-D variables get dims (time, level, longitude, latitude); 2-D variables
+  drop the level dim.  ``time_stop`` is exclusive.  Fill with
+  ``utils.random_like`` for seeded random fields.
+  """
   num_latitudes = round(180 / spatial_resolution_in_degrees) + 1
   num_longitudes = round(360 / spatial_resolution_in_degrees)
   freq = pd.Timedelta(time_resolution)

@@ -139,8 +139,15 @@ def weighted_quantile(
   normalized cumulative-weight positions p_k = (cumw_k - w_k/2) / W, and
   linearly interpolate the quantile q over (p_k, v_k).  Reduces to a
   midpoint-interpolated quantile for equal weights; NaNs carry zero weight
-  when skipna.
+  when skipna.  Dispatches to the multithreaded native kernel
+  (weatherbench2_tpu.native) when available.
   """
+  if skipna and axis in (-1, np.ndim(values) - 1):
+    from weatherbench2_tpu import native
+
+    fast = native.weighted_quantile_native(values, q, weights)
+    if fast is not None:
+      return fast
   q = np.atleast_1d(np.asarray(q, dtype=np.float64))
   values = np.moveaxis(np.asarray(values, dtype=np.float64), axis, -1)
   w = np.broadcast_to(

@@ -87,11 +87,18 @@ def open_source_files(
     use_dask: bool = False,
     rename_variables: Optional[dict] = None,
     pressure_level_suffixes: bool = False,
+    lazy: bool = False,
 ) -> tuple[xds.Dataset, xds.Dataset]:
-  """Open forecast and obs Zarr stores and standardize them."""
-  del use_dask  # no lazy layer: arrays are host-resident or streamed
-  obs = xds.open_zarr(obs_path)
-  forecast = xds.open_zarr(forecast_path)
+  """Open forecast and obs Zarr stores and standardize them.
+
+  With ``lazy=True`` (the streaming engine's default) variable data stays
+  on disk as zarr-backed lazy views; only per-chunk slices are read.
+  """
+  del use_dask  # compatibility; laziness is controlled by `lazy`
+  obs = xds.open_zarr(obs_path, lazy=lazy)
+  forecast = xds.open_zarr(
+      forecast_path, lazy=lazy and not pressure_level_suffixes
+  )
 
   if pressure_level_suffixes:
     forecast = _decode_pressure_level_suffixes(forecast)
@@ -258,6 +265,7 @@ def open_forecast_and_truth_datasets(
     data_config: config.Data,
     eval_config: config.Eval,
     use_dask: bool = False,
+    lazy: bool = False,
 ) -> tuple[xds.Dataset, xds.Dataset, Union[xds.Dataset, None]]:
   """Open datasets and select desired slices."""
   data_config = _add_base_variables(data_config, eval_config)
@@ -270,6 +278,7 @@ def open_forecast_and_truth_datasets(
       use_dask=use_dask,
       rename_variables=data_config.rename_variables,
       pressure_level_suffixes=data_config.pressure_level_suffixes,
+      lazy=lazy,
   )
 
   forecast_all_times = _impose_data_selection(
@@ -597,7 +606,7 @@ def evaluate_with_mesh(
     logging.info(f"Eval config: {eval_name}")
     _t0 = _time.perf_counter()
     forecast, truth, climatology = open_forecast_and_truth_datasets(
-        data_config, eval_config
+        data_config, eval_config, lazy=True
     )
     streaming._vlog(f"open+select [{_time.perf_counter() - _t0:.2f}s]")
     results = streaming.evaluate_streaming(

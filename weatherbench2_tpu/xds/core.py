@@ -33,6 +33,15 @@ from typing import Any, Callable, Optional, Union
 import numpy as np
 
 
+class LazyArrayBase:
+  """Marker base for lazily-backed array payloads (see io_zarr.LazyArray).
+
+  Implementations provide shape/dtype/ndim, basic-slicing __getitem__
+  (returning a lazy view when possible, numpy otherwise), and __array__
+  for materialization.  numpy functions consume them via __array__.
+  """
+
+
 def _is_jax(x) -> bool:
   import jax  # local import: keep numpy-only paths importable without jax
 
@@ -50,14 +59,12 @@ def _xp(*arrays):
 
 
 def _asarray(data):
-  if _is_jax(data):
+  if _is_jax(data) or isinstance(data, LazyArrayBase):
     return data
   return np.asarray(data)
 
 
 def _to_numpy(data) -> np.ndarray:
-  if _is_jax(data):
-    return np.asarray(data)
   return np.asarray(data)
 
 
@@ -121,8 +128,11 @@ class Variable:
     extra = [i for i in range(self.ndim) if i not in order]
     if extra:
       raise ValueError("transpose must list all dims")
-    xp = _xp(self.data)
-    return Variable(dims, xp.transpose(self.data, order), self.attrs)
+    data = self.data
+    if isinstance(data, LazyArrayBase):
+      data = np.asarray(data)
+    xp = _xp(data)
+    return Variable(dims, xp.transpose(data, order), self.attrs)
 
   def rename_dims(self, mapping: Mapping[str, str]):
     return Variable(
@@ -153,6 +163,8 @@ class Variable:
     # transpose own dims into target order
     own = [d for d in dims if d in self.dims]
     v = self.transpose(*own) if tuple(own) != self.dims else self
+    if isinstance(v.data, LazyArrayBase):
+      v = Variable(v.dims, np.asarray(v.data), v.attrs)
     if xp is None:
       xp = _xp(v.data)
     shape = tuple(v.sizes.get(d, 1) for d in dims)
@@ -848,8 +860,13 @@ class DataArray:
       )
     # scalar or raw array
     other_arr = other
+    self_data = (
+        np.asarray(self.data)
+        if isinstance(self.data, LazyArrayBase)
+        else self.data
+    )
     data = (
-        op(other_arr, self.data) if reflexive else op(self.data, other_arr)
+        op(other_arr, self_data) if reflexive else op(self_data, other_arr)
     )
     return DataArray(
         Variable(self.dims, data), coords=self.coords, name=self.name
@@ -1195,17 +1212,20 @@ def _resolve_label_indexer(index: Index, label, method, tolerance):
 
 
 def _as_slice_if_contiguous(arr: np.ndarray):
-  """Convert a contiguous ascending index array to a cheap (view) slice."""
+  """Convert an evenly-strided index array to a cheap (view/lazy) slice."""
   if arr.ndim != 1 or arr.size == 0 or arr.dtype.kind not in ("i", "u"):
     return arr
   start = int(arr[0])
   if arr.size == 1:
     return slice(start, start + 1)
   step = int(arr[1]) - start
-  if step <= 0:
+  if step == 0:
     return arr
   if np.array_equal(arr, np.arange(start, start + step * arr.size, step)):
-    return slice(start, start + step * (arr.size - 1) + 1, step)
+    stop = start + step * (arr.size - 1) + (1 if step > 0 else -1)
+    if step < 0 and stop < 0:
+      stop = None
+    return slice(start, stop, step)
   return arr
 
 

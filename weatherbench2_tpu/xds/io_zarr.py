@@ -267,6 +267,81 @@ def write_zarr_region(path: str, name: str, key, data: np.ndarray):
   return arr[key].write(np.ascontiguousarray(data))
 
 
+class LazyArray(core.LazyArrayBase):
+  """Lazily-sliced zarr array payload (tensorstore view under the hood).
+
+  Basic indexing (ints / slices, including negative steps) composes into a
+  new lazy view; advanced (integer-array) indexing reads the bounding
+  slice from storage and applies the gather in numpy — so streaming
+  engines touch only the bytes of the chunk they ask for.  numpy consumes
+  LazyArray transparently via ``__array__`` (with CF decode applied).
+  """
+
+  __slots__ = ("_ts", "_attrs", "dtype")
+
+  def __init__(self, ts_view, attrs, dtype):
+    self._ts = ts_view
+    self._attrs = attrs
+    self.dtype = dtype
+
+  @property
+  def shape(self):
+    return tuple(self._ts.shape)
+
+  @property
+  def ndim(self):
+    return len(self._ts.shape)
+
+  @property
+  def size(self):
+    return int(np.prod(self.shape)) if self.shape else 1
+
+  def __array__(self, dtype=None):
+    out = _decode_cf(np.asarray(self._ts.read().result()), self._attrs)
+    return out.astype(dtype) if dtype is not None else out
+
+  def __getitem__(self, key):
+    if not isinstance(key, tuple):
+      key = (key,)
+    basic = all(
+        isinstance(k, (int, np.integer, slice)) for k in key
+    )
+    if basic:
+      try:
+        ts = _ts()
+        view = self._ts[key]
+        # tensorstore views keep absolute origins; rebase to zero so
+        # subsequent relative indexing composes like numpy
+        view = view[ts.d[:].translate_to[0]]
+        return LazyArray(view, self._attrs, self.dtype)
+      except Exception:
+        return np.asarray(self)[key]
+    # advanced indexing: read the bounding basic slice, gather in numpy
+    bound = []
+    inner = []
+    for k in key:
+      if isinstance(k, (int, np.integer, slice)):
+        bound.append(k)
+        inner.append(slice(None) if isinstance(k, slice) else None)
+      else:
+        arr = np.asarray(k)
+        if arr.size == 0:
+          bound.append(slice(0, 0))
+          inner.append(slice(None))
+          continue
+        lo, hi = int(arr.min()), int(arr.max())
+        bound.append(slice(lo, hi + 1))
+        inner.append(arr - lo)
+    data = np.asarray(
+        LazyArray(self._ts[tuple(bound)], self._attrs, self.dtype)
+    )
+    final_key = tuple(k for k in inner if k is not None)
+    return data[final_key]
+
+  def __repr__(self):
+    return f"LazyArray(shape={self.shape}, dtype={self.dtype})"
+
+
 class ZarrArray:
   """Lazy handle to a single zarr array (tensorstore-backed)."""
 
@@ -302,7 +377,13 @@ class ZarrArray:
 
 
 def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
-  """Open a zarr group as a Dataset (eager read by default)."""
+  """Open a zarr group as a Dataset.
+
+  With ``lazy=True``, data variables are LazyArray views: coordinates load
+  eagerly (they drive host-side selection), while variable bytes are read
+  from storage only when a concrete (chunk-sized) slice is materialized —
+  the streaming engine's zarr→HBM path.
+  """
   meta_path = os.path.join(path, ".zmetadata")
   entries: dict[str, dict] = {}
   group_attrs: dict[str, Any] = {}
@@ -334,15 +415,36 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
       continue
     arrays[name] = ZarrArray(path, name, zattrs)
 
-  # read eagerly (in parallel threads; tensorstore releases the GIL)
   variables: dict[str, core.Variable] = {}
-  with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
-    results = {
-        name: pool.submit(arr.read) for name, arr in arrays.items()
-    }
-    for name, fut in results.items():
-      arr = arrays[name]
-      variables[name] = core.Variable(arr.dims, fut.result(), arr.attrs)
+  if lazy:
+    # coords eager (they drive selection); data variables lazy
+    dim_names_prelim = set()
+    for arr in arrays.values():
+      dim_names_prelim.update(arr.dims)
+    for name, arr in arrays.items():
+      is_coord = name in dim_names_prelim or name in _KNOWN_COORD_NAMES
+      if is_coord:
+        variables[name] = core.Variable(arr.dims, arr.read(), arr.attrs)
+      else:
+        store = arr.store
+        probe = _decode_cf(
+            np.zeros((), dtype=np.dtype(store.dtype.numpy_dtype)),
+            arr.attrs,
+        )
+        variables[name] = core.Variable(
+            arr.dims,
+            LazyArray(store, arr.attrs, probe.dtype),
+            arr.attrs,
+        )
+  else:
+    # read eagerly (in parallel threads; tensorstore releases the GIL)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+      results = {
+          name: pool.submit(arr.read) for name, arr in arrays.items()
+      }
+      for name, fut in results.items():
+        arr = arrays[name]
+        variables[name] = core.Variable(arr.dims, fut.result(), arr.attrs)
 
   for name, spec in string_arrays.items():
     variables[name] = core.Variable(

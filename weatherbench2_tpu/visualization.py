@@ -104,6 +104,21 @@ def load_results(results_dict: t.Dict[str, t.Any]) -> t.Dict[str, xds.Dataset]:
   return results
 
 
+def datetime_to_xticks(lead_time, ax, xlim=None) -> None:
+  """Set day-granularity x ticks for a timedelta lead_time axis."""
+  values = np.asarray(
+      lead_time.data if hasattr(lead_time, "data") else lead_time
+  )
+  mx = values.max()
+  if xlim is not None:
+    mx = max(np.max(xlim), mx)
+  ns = np.arange(values.min(), mx + 1, np.timedelta64(1, "D"))
+  days = ns.astype("timedelta64[D]")
+  ax.set_xticks(ns.astype(np.int64))
+  ax.set_xticklabels(days.astype(np.int64))
+  ax.set_xlim(values.min(), values.max())
+
+
 def compute_relative_metrics(
     results: t.Dict[str, xds.Dataset], reference: str, metric: str
 ) -> t.Dict[str, xds.Dataset]:

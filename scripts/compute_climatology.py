@@ -309,7 +309,7 @@ def _tile_slices(sizes, tile_spec):
 
 
 def main(argv) -> None:
-  obs = xds.open_zarr(INPUT_PATH.value)
+  obs = xds.open_zarr(INPUT_PATH.value, lazy=True)
   # drop static variables (no time dimension)
   static = [
       k for k, v in obs.variables_dict().items() if "time" not in v.dims

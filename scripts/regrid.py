@@ -50,7 +50,8 @@ RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
 
 
 def main(argv):
-  source_ds = xds.open_zarr(INPUT_PATH.value)
+  # lazy: with --time_chunk_size only one chunk's bytes are resident
+  source_ds = xds.open_zarr(INPUT_PATH.value, lazy=True)
   renames = {
       LONGITUDE_NAME.value: "longitude",
       LATITUDE_NAME.value: "latitude",

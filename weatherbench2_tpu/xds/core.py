@@ -904,6 +904,9 @@ class DataArray:
   def __neg__(self):
     return self.copy(data=-self.data)
 
+  def __pos__(self):
+    return self
+
   def __abs__(self):
     xp = _xp(self.data)
     return self.copy(data=xp.abs(self.data))

@@ -15,8 +15,15 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("batch",),
     devices=None,
+    axis_sizes: Optional[Sequence[int]] = None,
 ):
-  """Create a 1-D (or reshaped) jax Mesh over available devices."""
+  """Create a jax Mesh over available devices.
+
+  1-D ``("batch",)`` meshes shard the streaming time axis (pure data
+  parallelism).  2-D ``("batch", "spatial")`` meshes additionally shard the
+  latitude axis: spatial weighted means then reduce with an XLA-inserted
+  psum over ICI while each chip holds a latitude band.
+  """
   import jax
   from jax.sharding import Mesh
 
@@ -26,9 +33,14 @@ def make_mesh(
     devices = devices[:n_devices]
   arr = np.asarray(devices)
   if len(axis_names) > 1:
-    # factor devices evenly across axes: first axis gets the remainder
-    sizes = [1] * len(axis_names)
-    remaining = arr.size
-    sizes[0] = remaining
-    arr = arr.reshape(sizes)
+    if axis_sizes is None:
+      # split roughly evenly: give the last axis a power-of-two factor
+      total = arr.size
+      last = 1
+      while last * 2 <= total and total % (last * 2) == 0 and last < (
+          total // last
+      ):
+        last *= 2
+      axis_sizes = [total // last] + [1] * (len(axis_names) - 2) + [last]
+    arr = arr.reshape(axis_sizes)
   return Mesh(arr, axis_names=tuple(axis_names))

@@ -324,8 +324,11 @@ def evaluate_streaming(
   chunk_dim = "init_time" if by_init else "time"
   total = forecast.sizes[chunk_dim]
   chunk_size = int(input_chunks.get(chunk_dim, total))
+  spatial_shards = 1
   if mesh is not None:
-    batch = int(np.prod(mesh.devices.shape))
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    batch = int(axis_sizes.get("batch", 1))
+    spatial_shards = int(axis_sizes.get("spatial", 1))
     chunk_size = max(chunk_size, batch)
   else:
     batch = 1
@@ -350,7 +353,14 @@ def evaluate_streaming(
   }
   regions = eval_config.regions or {None: None}
 
-  fused_plan = _build_fused_plan(jit_metrics, regions, forecast)
+  # The fused path reshapes (lon, lat) into one cell axis, which would
+  # force a resharding gather under spatial sharding — use the generic
+  # (GSPMD-partitioned reductions) path there instead.
+  fused_plan = (
+      _build_fused_plan(jit_metrics, regions, forecast)
+      if spatial_shards == 1
+      else None
+  )
 
   # ---- the fused per-chunk program (jit) ----------------------------------
   def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
@@ -436,9 +446,19 @@ def evaluate_streaming(
     from jax.sharding import NamedSharding, PartitionSpec
 
     def sharding_fn(dims, shape):
-      if chunk_dim in dims:
-        spec = [None] * len(dims)
+      spec = [None] * len(dims)
+      used = False
+      if chunk_dim in dims and batch > 1:
         spec[dims.index(chunk_dim)] = "batch"
+        used = True
+      if (
+          spatial_shards > 1
+          and "latitude" in dims
+          and shape[dims.index("latitude")] % spatial_shards == 0
+      ):
+        spec[dims.index("latitude")] = "spatial"
+        used = True
+      if used:
         return NamedSharding(mesh, PartitionSpec(*spec))
       return NamedSharding(mesh, PartitionSpec())
 

@@ -1065,10 +1065,6 @@ class EnergyScoreSkill(EnsembleMetric):
     ).mean(self.ensemble_dim, skipna=skipna)
 
 
-def _isnull_ds(ds: xds.Dataset) -> xds.Dataset:
-  return ds.isnull()
-
-
 def _compute_brier_score(
     forecast, truth, threshold, ensemble_dim, debias, skipna
 ):

@@ -24,7 +24,6 @@ retries instead — SURVEY §5).
 from __future__ import annotations
 
 import dataclasses
-import logging
 import os
 import pickle
 import time
@@ -43,8 +42,6 @@ def _vlog(msg: str, t0=None):
 from weatherbench2_tpu import xds
 from weatherbench2_tpu import utils
 from weatherbench2_tpu.evaluation import merge_metric_results
-
-CHUNKABLE_DIMS = ("init_time", "time", "lead_time")
 
 
 def _normalize_chunk_coords(ds: xds.Dataset, chunk_dim: str) -> xds.Dataset:

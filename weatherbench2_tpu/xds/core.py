@@ -25,10 +25,9 @@ re-implemented from scratch without xarray.
 """
 from __future__ import annotations
 
-import collections
-from collections.abc import Hashable, Iterable, Mapping, Sequence
+from collections.abc import Iterable, Mapping, Sequence
 import functools
-from typing import Any, Callable, Optional, Union
+from typing import Any
 
 import numpy as np
 
@@ -66,9 +65,6 @@ def _asarray(data):
 
 def _to_numpy(data) -> np.ndarray:
   return np.asarray(data)
-
-
-_NAT_SENTINEL = object()
 
 
 class Variable:

@@ -10,8 +10,6 @@ symmetrically on read.
 from __future__ import annotations
 
 import io as _io
-from typing import Any, Mapping
-
 import numpy as np
 from scipy.io import netcdf_file
 

@@ -78,7 +78,8 @@ def to_netcdf(ds: core.Dataset, filename_or_obj=None):
       if data.ndim:
         v[:] = data
       else:
-        v.assignValue(data)
+        # scipy's assignValue chokes on 0-d arrays; write the item directly
+        v.data[()] = data.item()
       for k, val in {**cf_attrs, **var.attrs}.items():
         if isinstance(val, str):
           setattr(v, k, val)

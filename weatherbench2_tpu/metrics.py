@@ -1352,3 +1352,12 @@ def central_reliability(hist: xds.Dataset) -> xds.Dataset:
       desired_prob=xds.Variable(("prob_index",), desired)
   )
   return probs.swap_dims({"prob_index": "desired_prob"})
+
+
+# Aliases used by the reference's api.md / older papers (the reference code
+# renamed these classes — see /root/reference/weatherbench2/metrics.py:237,
+# :1162, :1270 — but its docs still use the short names).  Provided so users
+# following the published docs find the classes they expect.
+RMSE = RMSESqrtBeforeTimeAvg
+EnsembleStddev = EnsembleStddevSqrtBeforeTimeAvg
+EnsembleMeanRMSE = EnsembleMeanRMSESqrtBeforeTimeAvg

@@ -513,24 +513,27 @@ def evaluate_streaming(
     ]
 
     # Prefetch pipeline: host-side slicing/alignment/prepare/h2d-dispatch
-    # for chunk i+1 overlaps the device execution of chunk i.
+    # for the next `depth` chunks overlaps the device execution of the
+    # current one (zarr reads, numpy gathers and transfer dispatch all
+    # release the GIL, so two preparations make real progress in parallel).
     import concurrent.futures as _futures
 
-    pool = _futures.ThreadPoolExecutor(max_workers=1)
-    pending = None
+    depth = max(1, int(os.environ.get("WB2_PREFETCH", "2")))
+    pool = _futures.ThreadPoolExecutor(max_workers=depth)
+    pending = [
+        pool.submit(_prepare_one, ci, sl, lead_sl)
+        for ci, sl in chunk_list[:depth]
+    ]
     try:
-      for idx, (ci, sl) in enumerate(chunk_list):
-        if pending is None:
-          pending = pool.submit(_prepare_one, ci, sl, lead_sl)
+      for idx in range(len(chunk_list)):
         t0 = time.perf_counter()
         (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
-         time_mask) = pending.result()
+         time_mask) = pending.pop(0).result()
         _vlog(f"chunk {ci}: host prepare + h2d", t0)
-        pending = (
-            pool.submit(_prepare_one, *chunk_list[idx + 1], lead_sl)
-            if idx + 1 < len(chunk_list)
-            else None
-        )
+        if idx + depth < len(chunk_list):
+          pending.append(
+              pool.submit(_prepare_one, *chunk_list[idx + depth], lead_sl)
+          )
 
         t0 = time.perf_counter()
         sums, counts = chunk_program_jit(

@@ -183,3 +183,118 @@ def test_ensemble_stddev_sqrt_before_time_avg_estimates_sigma():
   np.testing.assert_allclose(
       got["geopotential"].values.mean(), 1.0, rtol=0.05
   )
+
+
+def test_rank_histogram_counting_form_properties():
+  """Tie-break uniformity and NaN-ranking semantics of RankHistogram."""
+  from weatherbench2_tpu import schema, utils, xds
+
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          variables_3d=[], variables_2d=["2m_temperature"],
+          time_start="2020-01-01", time_stop="2020-01-09",
+          lead_stop="2 days", ensemble_size=7,
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=1,
+  )
+  tr = utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[], variables_2d=["2m_temperature"],
+          time_start="2020-01-01", time_stop="2020-01-12",
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=2,
+  )
+  tr = tr.sel(time=fc["time"].values)
+  m = metrics.RankHistogram(seed=7)
+
+  # tie-free: rank is exactly the count of members below truth
+  hist = m.compute_chunk(fc, tr)["2m_temperature"]
+  ranks = np.asarray(hist.values).argmax(axis=-1)
+  f = fc["2m_temperature"].transpose(
+      "realization", *[d for d in hist.dims if d != "bins"]
+  ).values
+  t = tr["2m_temperature"].variable.broadcast_to_dims(
+      tuple(d for d in hist.dims if d != "bins"),
+      {d: s for d, s in hist.sizes.items() if d != "bins"},
+  ).data
+  np.testing.assert_array_equal(ranks, (f < t).sum(axis=0))
+
+  # all-ties: truth's bin is uniform over all K+1 slots
+  ones = {"2m_temperature": np.ones_like(fc["2m_temperature"].values)}
+  hist_t = m.compute_chunk(
+      fc.copy(data=ones),
+      tr.copy(
+          data={
+              "2m_temperature": np.ones_like(tr["2m_temperature"].values)
+          }
+      ),
+  )["2m_temperature"]
+  counts = np.asarray(hist_t.values).reshape(-1, 8).sum(axis=0)
+  n = counts.sum()
+  assert (np.abs(counts - n / 8) < 4 * np.sqrt(n * 7 / 64)).all(), counts
+
+  # NaN truth ranks above every non-NaN member
+  tnan = np.full_like(tr["2m_temperature"].values, np.nan)
+  hist_n = m.compute_chunk(
+      fc, tr.copy(data={"2m_temperature": tnan})
+  )["2m_temperature"]
+  np.testing.assert_array_equal(
+      np.asarray(hist_n.values).argmax(axis=-1), 7
+  )
+
+
+def test_rank_histogram_streaming_engine_parity(tmp_path):
+  """RankHistogram through the jit streaming engine ≡ in-memory."""
+  import os
+
+  from weatherbench2_tpu import config, evaluation, schema, utils, xds
+
+  kwargs = dict(
+      variables_3d=[], variables_2d=["2m_temperature"],
+      time_start="2020-01-01", time_stop="2020-01-20",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          ensemble_size=5, lead_stop="2 days",
+          **{**kwargs, "time_stop": "2020-01-10"},
+      ),
+      seed=1,
+  )
+  tp, fp = str(tmp_path / "t.zarr"), str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(forecast, fp)
+  ec = config.Eval(
+      metrics={"rank_histogram": metrics.RankHistogram(seed=3)},
+      regions=None,
+      temporal_mean=True,
+  )
+  results = {}
+  for tag, use_mesh in (("mem", False), ("stream", True)):
+    dc = config.Data(
+        selection=config.Selection(
+            variables=["2m_temperature"],
+            time_slice=slice("2020-01-01", "2020-01-08"),
+        ),
+        paths=config.Paths(
+            forecast=fp, obs=tp, output_dir=str(tmp_path / tag)
+        ),
+        by_init=True,
+    )
+    if use_mesh:
+      evaluation.evaluate_with_mesh(
+          dc, {"cfg": ec}, input_chunks={"init_time": 3}
+      )
+    else:
+      evaluation.evaluate_in_memory(dc, {"cfg": ec})
+    results[tag] = xds.open_netcdf(
+        os.path.join(dc.paths.output_dir, "cfg.nc")
+    )
+  a = results["mem"]["2m_temperature"]
+  b = results["stream"]["2m_temperature"]
+  np.testing.assert_allclose(
+      a.values, b.transpose(*a.dims).values, rtol=1e-6, atol=1e-7
+  )

@@ -1234,11 +1234,21 @@ class RankHistogram(EnsembleMetric):
   One-hot encoding over K+1 bins (optionally aggregated into num_bins that
   evenly divide K+1), with random tie breaking (reference
   metrics.py:1895-2042).  NaNs are treated as larger than any value.
-  Uses host-side RNG for tie breaking, so the streaming engine evaluates it
-  eagerly (supports_jit=False).
-  """
 
-  supports_jit: t.ClassVar[bool] = False
+  Computed in counting form: rank = (#members < truth) + floor(u·(#ties+1))
+  with host-drawn u ~ U[0,1) for the random tie break.  The reference
+  instead perturbs all values by under half the minimum nonzero gap and
+  argsorts (metrics.py:1963-1990); among k exact ties that places truth
+  uniformly over the k slots — exactly what the counting form computes —
+  and can never reorder distinct values, so on NaN-free data the two forms
+  agree bit-for-bit (asserted in tests).  The counting form is O(M) instead
+  of O(M log M), needs no float64 (TPUs lack it), and is jit-safe with the
+  tie-break draws supplied by ``prepare_chunk``.  Known deviation: when a
+  point's ensemble contains NaN members, the reference's minimum-gap
+  computation returns NaN and it silently falls back to perturbation size
+  1, which CAN reorder distinct values ~0.5 apart; the counting form ranks
+  those points exactly.
+  """
 
   def __init__(
       self,
@@ -1262,60 +1272,66 @@ class RankHistogram(EnsembleMetric):
       )
     return self.num_bins
 
-  def _perturb_by_min_ensemble_diff(self, values: np.ndarray,
-                                    axis: int) -> np.ndarray:
-    """Perturb values by half the minimum nonzero diff along axis."""
-    if values.shape[axis] < 2:
-      return values
-    diffs = np.diff(np.sort(values, axis=axis), axis=axis)
-    diffs_zero_replaced_by_inf = np.where(diffs == 0, np.inf, diffs)
-    min_diff = diffs_zero_replaced_by_inf.min(axis=axis, keepdims=True)
-    perturbation_size = np.where(min_diff < np.inf, min_diff / 2, 1)
-    perturbation = np.random.default_rng(self._seed).uniform(
-        size=values.shape,
-        low=-perturbation_size / 2,
-        high=perturbation_size / 2,
-    )
-    return values + perturbation
+  def prepare_chunk(self, forecast, truth):
+    """Host-side tie-breaking draws: one uniform per non-ensemble point."""
+    if not self._break_ties_randomly:
+      return {}
+    rng = np.random.default_rng(self._seed)
+    out = {}
+    for name in truth.keys():
+      fda = forecast[name]
+      dims = tuple(d for d in fda.dims if d != self.ensemble_dim)
+      shape = tuple(fda.sizes[d] for d in dims)
+      out[name] = xds.DataArray(
+          rng.uniform(size=shape).astype(np.float32), dims=dims
+      )
+    return out
 
-  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+  def compute_chunk_prepared(
+      self, forecast, truth, prepared, region=None, skipna=False
+  ):
+    del region, skipna  # rank histograms are unweighted and NaN-ranking
     ensemble_size = forecast.sizes[self.ensemble_dim]
     num_bins = self._num_bins_actual(ensemble_size)
-    default_n_bins = ensemble_size + 1
-    reduction_factor = default_n_bins // num_bins
+    reduction_factor = (ensemble_size + 1) // num_bins
 
     out = xds.Dataset({}, coords={
         k: v
         for k, v in forecast.coords_dict().items()
         if self.ensemble_dim not in v.dims
     })
+    bins_da = xds.DataArray(
+        np.arange(num_bins, dtype=np.int32), dims=("bins",),
+        coords={"bins": np.arange(num_bins)},
+    )
     for name in truth.keys():
       fda = forecast[name]
       tda = truth[name]
-      ax = fda.dims.index(self.ensemble_dim)
-      fvals = np.asarray(fda.values, dtype=np.float64)
-      # broadcast truth to forecast dims minus ensemble
-      t_b = tda.variable.broadcast_to_dims(
-          tuple(d for d in fda.dims if d != self.ensemble_dim),
-          {d: s for d, s in fda.sizes.items() if d != self.ensemble_dim},
-      )
-      tvals = np.asarray(xds.core._to_numpy(t_b.data), dtype=np.float64)
-      combined = np.concatenate(
-          [np.expand_dims(tvals, ax), fvals], axis=ax
-      )
+      f_ok = fda.notnull()
+      t_nan = tda.isnull()
+      # NaN ranks above any value: a member is below a NaN truth iff it is
+      # itself non-NaN.  NaN-vs-NaN ties are NOT broken randomly (the
+      # reference's perturbation is inert on NaNs and its sort emits the
+      # truth, concatenated first, ahead of NaN members), so `eq` counts
+      # only real-value ties.
+      lt = (fda < tda) | (t_nan & f_ok)
+      eq = fda == tda
+      count_less = lt.astype(np.float32).sum(self.ensemble_dim)
       if self._break_ties_randomly:
-        combined = self._perturb_by_min_ensemble_diff(combined, ax)
-      order = np.argsort(combined, axis=ax)
-      ranks = np.argmin(order, axis=ax)
-      ranks = ranks // reduction_factor
-      one_hot = np.eye(num_bins)[ranks]  # appends bins axis at the end
-      dims = tuple(d for d in fda.dims if d != self.ensemble_dim) + ("bins",)
-      out[name] = xds.DataArray(
-          one_hot, dims=dims,
-          coords={"bins": np.arange(num_bins)},
-      )
+        count_eq = eq.astype(np.float32).sum(self.ensemble_dim)
+        count_less = count_less + (
+            prepared[name] * (count_eq + 1.0)
+        ).astype(np.int32).astype(np.float32)
+      rank = count_less.astype(np.int32) // np.int32(reduction_factor)
+      out[name] = (rank == bins_da).astype(np.float32)
     out = out.assign_coords(bins=np.arange(num_bins))
     return out
+
+  def compute_chunk(self, forecast, truth, region=None, skipna=False):
+    return self.compute_chunk_prepared(
+        forecast, truth, self.prepare_chunk(forecast, truth),
+        region=region, skipna=skipna,
+    )
 
 
 def central_reliability(hist: xds.Dataset) -> xds.Dataset:

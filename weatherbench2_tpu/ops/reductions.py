@@ -104,29 +104,41 @@ def fused_deterministic_sums_reference(
   return sums, wsum_valid, nan_w
 
 
-def _fused_kernel(f_ref, t_ref, c_ref, w_ref, wpos_ref,
+def _fused_kernel(l_real, l_tile, f_ref, t_ref, c_ref, w_ref, wpos_ref,
                   sums_ref, wsum_ref, nanw_ref):
   """Pallas kernel body: one (batch-tile, cell-tile) step.
 
   Grid is (n_batch_tiles, n_cell_tiles); the cell axis is accumulated into
   the outputs (output blocks are indexed by the batch tile only).
+
+  Blocks need not divide the array: inputs are NOT padded in HBM (a copy
+  of three chunk-sized arrays would double the kernel's memory traffic).
+  Mosaic fills out-of-range block regions with undefined values, so every
+  load is masked against the real column count here in VMEM, and writes to
+  out-of-range output rows/columns are dropped by the hardware.
   """
+  import jax
   import jax.numpy as jnp
   from jax.experimental import pallas as pl
 
   j = pl.program_id(1)
+  col_ok = (
+      jax.lax.broadcasted_iota(jnp.int32, (1, l_tile), 1) + j * l_tile
+      < l_real
+  )
 
   f = f_ref[:]
   t = t_ref[:]
   c = c_ref[:]
-  nan_mask = jnp.isnan(f) | jnp.isnan(t) | jnp.isnan(c)
-  valid = (~nan_mask).astype(jnp.float32)
-  f = jnp.where(nan_mask, 0.0, f)
-  t = jnp.where(nan_mask, 0.0, t)
-  c = jnp.where(nan_mask, 0.0, c)
+  nan_mask = (jnp.isnan(f) | jnp.isnan(t) | jnp.isnan(c)) & col_ok
+  good = (~jnp.isnan(f)) & (~jnp.isnan(t)) & (~jnp.isnan(c)) & col_ok
+  valid = good.astype(jnp.float32)
+  f = jnp.where(good, f, 0.0)
+  t = jnp.where(good, t, 0.0)
+  c = jnp.where(good, c, 0.0)
 
-  w_t = w_ref[:].T  # (lT, R)
-  wpos_t = wpos_ref[:].T  # (lT, R)
+  w_t = jnp.where(col_ok, w_ref[:], 0.0).T  # (lT, R)
+  wpos_t = jnp.where(col_ok, wpos_ref[:], 0.0).T  # (lT, R)
 
   diff = f - t
   a = f - c
@@ -152,7 +164,7 @@ def _fused_kernel(f_ref, t_ref, c_ref, w_ref, wpos_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_pallas_call(b_pad, l_pad, r_pad, b_tile, l_tile, interpret):
+def _build_pallas_call(b, l, r, r_pad, b_tile, l_tile, interpret):
   import jax
   import jax.numpy as jnp
   from jax.experimental import pallas as pl
@@ -170,9 +182,9 @@ def _build_pallas_call(b_pad, l_pad, r_pad, b_tile, l_tile, interpret):
       kwargs["memory_space"] = vmem
     return pl.BlockSpec(shape, index_map, **kwargs)
 
-  grid = (b_pad // b_tile, l_pad // l_tile)
+  grid = (-(-b // b_tile), -(-l // l_tile))
   return pl.pallas_call(
-      _fused_kernel,
+      functools.partial(_fused_kernel, l, l_tile),
       grid=grid,
       in_specs=[
           spec((b_tile, l_tile), lambda i, j: (i, j)),  # forecast
@@ -187,9 +199,9 @@ def _build_pallas_call(b_pad, l_pad, r_pad, b_tile, l_tile, interpret):
           spec((r_pad, b_tile), lambda i, j: (0, i)),
       ],
       out_shape=[
-          jax.ShapeDtypeStruct((N_STATS, r_pad, b_pad), jnp.float32),
-          jax.ShapeDtypeStruct((r_pad, b_pad), jnp.float32),
-          jax.ShapeDtypeStruct((r_pad, b_pad), jnp.float32),
+          jax.ShapeDtypeStruct((N_STATS, r, b), jnp.float32),
+          jax.ShapeDtypeStruct((r, b), jnp.float32),
+          jax.ShapeDtypeStruct((r, b), jnp.float32),
       ],
       interpret=bool(interpret),
   )
@@ -201,7 +213,7 @@ def fused_deterministic_sums(
     clim=None,
     region_w: Optional[np.ndarray] = None,
     b_tile: int = 128,
-    l_tile: int = 1024,
+    l_tile: int = 2048,
     interpret: Optional[bool] = None,
 ):
   """Fused multi-region weighted sums on TPU (Pallas).
@@ -232,31 +244,30 @@ def fused_deterministic_sums(
 
   b, l = forecast.shape
   r = region_w.shape[0]
-  # Mosaic requires the last two dims of every block be (8k, 128m)-aligned;
+  # Mosaic requires the last two dims of every BLOCK be (8k, 128m)-aligned;
   # the batch axis is the LAST dim of the output blocks, so tile it in
-  # multiples of 128.
+  # multiples of 128.  The arrays themselves stay unpadded: edge blocks are
+  # masked inside the kernel (columns) or clipped on write (rows/batch),
+  # avoiding a full HBM copy of three chunk-sized inputs.
   b_tile = max(_LANE, _round_up(min(b_tile, b), _LANE))
   l_tile = min(l_tile, _round_up(l, _LANE))
-  b_pad = _round_up(b, b_tile)
-  l_pad = _round_up(l, l_tile)
+  # VMEM guard: three double-buffered input blocks must fit comfortably in
+  # the 16 MB of VMEM (2 x 3 x b_tile x l_tile x 4 B); 128x2048 measured
+  # fastest on v5e, 256x2048 overflows.
+  while b_tile * l_tile > 262144 and l_tile > _LANE:
+    l_tile //= 2
+  while b_tile * l_tile > 262144 and b_tile > _LANE:
+    b_tile //= 2
   r_pad = _round_up(r, _SUBLANE)
 
-  def pad2(x, rows, cols):
-    return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
-
-  f_p = pad2(forecast, b_pad, l_pad)
-  t_p = pad2(truth, b_pad, l_pad)
-  c_p = pad2(clim, b_pad, l_pad)
   w = jnp.asarray(region_w, jnp.float32)
-  w_p = pad2(w, r_pad, l_pad)
-  wpos_p = pad2((w > 0).astype(jnp.float32), r_pad, l_pad)
+  wpos = (w > 0).astype(jnp.float32)
 
   call = _build_pallas_call(
-      int(b_pad), int(l_pad), int(r_pad), int(b_tile), int(l_tile),
+      int(b), int(l), int(r), int(r_pad), int(b_tile), int(l_tile),
       bool(interpret),
   )
-  sums, wsum, nanw = call(f_p, t_p, c_p, w_p, wpos_p)
-  return sums[:, :r, :b], wsum[:r, :b], nanw[:r, :b]
+  return call(forecast, truth, clim, w, wpos)
 
 
 def fused_deterministic_metrics(

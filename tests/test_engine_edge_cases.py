@@ -215,3 +215,51 @@ def test_pressure_level_suffix_pipeline(tmp_path):
   assert "temperature" in res
   assert res.sizes["level"] == 2
   assert np.isfinite(res["temperature"].values).all()
+
+
+def test_rename_variables(tmp_path):
+  """rename_variables maps source names (and dims) onto WB2 conventions."""
+  from weatherbench2_tpu import config, evaluation, metrics, schema, utils, xds
+  from weatherbench2_tpu.regions import SliceRegion
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-20",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="2 days", **{**kwargs, "time_stop": "2020-01-10"}
+      ),
+      seed=1,
+  )
+  forecast = forecast.rename({"2m_temperature": "t2m"})
+  tp, fp = str(tmp_path / "t.zarr"), str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(forecast, fp)
+  dc = config.Data(
+      selection=config.Selection(
+          variables=["2m_temperature"],
+          time_slice=slice("2020-01-01", "2020-01-08"),
+      ),
+      paths=config.Paths(
+          forecast=fp, obs=tp, output_dir=str(tmp_path / "out")
+      ),
+      by_init=True,
+      rename_variables={"t2m": "2m_temperature"},
+  )
+  ec = {
+      "deterministic": config.Eval(
+          metrics={"mse": metrics.MSE()},
+          regions={"global": SliceRegion()},
+      )
+  }
+  evaluation.evaluate_in_memory(dc, ec)
+  res = xds.open_netcdf(
+      os.path.join(dc.paths.output_dir, "deterministic.nc")
+  )
+  assert "2m_temperature" in res
+  assert np.isfinite(res["2m_temperature"].values).all()

@@ -263,3 +263,59 @@ def test_rename_variables(tmp_path):
   )
   assert "2m_temperature" in res
   assert np.isfinite(res["2m_temperature"].values).all()
+
+
+def test_bfloat16_transfer_mode(tmp_path, monkeypatch):
+  """WB2_TRANSFER_DTYPE=bfloat16 approximates the f32 results closely."""
+  from weatherbench2_tpu import config, evaluation, metrics, schema, utils, xds
+  from weatherbench2_tpu.regions import SliceRegion
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-20",
+      spatial_resolution_in_degrees=10.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="2 days", **{**kwargs, "time_stop": "2020-01-10"}
+      ),
+      seed=1,
+  )
+  tp, fp = str(tmp_path / "t.zarr"), str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(forecast, fp)
+  ec = {
+      "deterministic": config.Eval(
+          metrics={"mse": metrics.MSE(), "bias": metrics.Bias()},
+          regions={"global": SliceRegion()},
+      )
+  }
+  results = {}
+  for tag, dtype in (("f32", ""), ("bf16", "bfloat16")):
+    monkeypatch.setenv("WB2_TRANSFER_DTYPE", dtype)
+    dc = config.Data(
+        selection=config.Selection(
+            variables=["2m_temperature"],
+            time_slice=slice("2020-01-01", "2020-01-08"),
+        ),
+        paths=config.Paths(
+            forecast=fp, obs=tp, output_dir=str(tmp_path / tag)
+        ),
+        by_init=True,
+    )
+    evaluation.evaluate_with_mesh(
+        dc, ec, input_chunks={"init_time": 4}
+    )
+    results[tag] = xds.open_netcdf(
+        os.path.join(dc.paths.output_dir, "deterministic.nc")
+    )
+  a = results["f32"]["2m_temperature"]
+  b = results["bf16"]["2m_temperature"]
+  np.testing.assert_allclose(
+      a.values, b.transpose(*a.dims).values, rtol=3e-2, atol=3e-2
+  )
+  # and it is NOT bit-identical (the mode actually engaged)
+  assert not np.array_equal(a.values, b.transpose(*a.dims).values)

@@ -79,11 +79,35 @@ def _normalize_any(obj, chunk_dim):
 
 def _to_device(obj, sharding_fn=None):
   """Move numpy payloads in a pytree of xds objects to jax, optionally
-  with a sharding chosen per-variable."""
+  with a sharding chosen per-variable.
+
+  WB2_TRANSFER_DTYPE=bfloat16 ships large float payloads as bfloat16 and
+  upcasts to float32 on device — halves host→HBM bytes (the measured
+  bottleneck, PERF.md) at ~3 significant digits of metric accuracy.
+  bfloat16 shares float32's exponent range so geopotential-scale values
+  cannot overflow (float16 would); this is an opt-in throughput mode, off
+  by default to preserve reference-parity numerics.
+  """
   import jax
   import jax.numpy as jnp
 
+  compress = os.environ.get("WB2_TRANSFER_DTYPE", "") == "bfloat16"
+
   def convert(x, dims):
+    if (
+        compress
+        and not isinstance(x, jax.Array)
+        and np.asarray(x).dtype in (np.float32, np.float64)
+        and np.asarray(x).size > 4096
+    ):
+      import ml_dtypes
+
+      arr = jnp.asarray(np.asarray(x).astype(ml_dtypes.bfloat16))
+      if sharding_fn is not None:
+        sh = sharding_fn(dims, np.shape(x))
+        if sh is not None:
+          arr = jax.device_put(arr, sh)
+      return arr.astype(jnp.float32)
     arr = jnp.asarray(x) if not isinstance(x, jax.Array) else x
     if sharding_fn is not None:
       sh = sharding_fn(dims, np.shape(x))

@@ -141,11 +141,12 @@ def main():
         raise
       time.sleep(30)
 
-  # min of 2 measured runs (standard practice; also insulates the figure
-  # against the sandbox tunnel's sporadic multi-second claim stalls)
+  # min of 3 measured runs (standard practice; also insulates the figure
+  # against the sandbox tunnel's sporadic multi-second claim stalls —
+  # interleaved A/B runs show 22-60 s spread on identical code, PERF.md)
   timings = []
   attempts = 0
-  while len(timings) < 2 and attempts < 4:
+  while len(timings) < 3 and attempts < 5:
     attempts += 1
     try:
       start = time.perf_counter()
@@ -155,7 +156,7 @@ def main():
       timings.append(time.perf_counter() - start)
     except Exception:
       # transient tunnel/backend failures: back off and retry
-      if attempts >= 4 and not timings:
+      if attempts >= 5 and not timings:
         raise
       time.sleep(20)
   elapsed = min(timings)

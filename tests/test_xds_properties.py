@@ -1,0 +1,136 @@
+"""Property-based tests of xds core semantics against numpy oracles."""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from weatherbench2_tpu import xds
+
+DIM_POOL = ("a", "b", "c", "d")
+SIZES = {"a": 3, "b": 4, "c": 2, "d": 5}
+
+
+def _dims_subset(draw, min_size=1):
+  dims = draw(
+      st.lists(
+          st.sampled_from(DIM_POOL), min_size=min_size, max_size=3,
+          unique=True,
+      )
+  )
+  return tuple(dims)
+
+
+@st.composite
+def _two_arrays(draw):
+  d1 = _dims_subset(draw)
+  d2 = _dims_subset(draw)
+  rs = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+  x = rs.randn(*[SIZES[d] for d in d1]).astype(np.float32)
+  y = rs.randn(*[SIZES[d] for d in d2]).astype(np.float32)
+  return (
+      xds.DataArray(x, dims=d1),
+      xds.DataArray(y, dims=d2),
+      d1,
+      d2,
+  )
+
+
+def _numpy_broadcast(x, y, d1, d2):
+  """First-appearance-order named broadcasting in plain numpy."""
+  out_dims = list(d1) + [d for d in d2 if d not in d1]
+  xs = np.moveaxis(
+      x.reshape(x.shape + (1,) * (len(out_dims) - x.ndim)),
+      list(range(len(d1))),
+      [out_dims.index(d) for d in d1],
+  )
+  ys = np.moveaxis(
+      y.reshape(y.shape + (1,) * (len(out_dims) - y.ndim)),
+      list(range(len(d2))),
+      [out_dims.index(d) for d in d2],
+  )
+  return out_dims, xs + ys
+
+
+@settings(max_examples=60, deadline=None)
+@given(_two_arrays())
+def test_named_broadcast_addition_matches_numpy(arrs):
+  da1, da2, d1, d2 = arrs
+  out = da1 + da2
+  out_dims, expected = _numpy_broadcast(da1.values, da2.values, d1, d2)
+  assert out.dims == tuple(out_dims)
+  np.testing.assert_allclose(out.values, expected, rtol=1e-6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(DIM_POOL),
+    st.booleans(),
+)
+def test_mean_reduction_matches_numpy(seed, dim, skipna):
+  rs = np.random.RandomState(seed)
+  dims = ("a", "b", "c")
+  x = rs.randn(*[SIZES[d] for d in dims]).astype(np.float64)
+  x[rs.rand(*x.shape) < 0.2] = np.nan
+  if dim not in dims:
+    return
+  da = xds.DataArray(x, dims=dims)
+  got = da.mean(dim, skipna=skipna).values
+  ax = dims.index(dim)
+  want = np.nanmean(x, axis=ax) if skipna else np.mean(x, axis=ax)
+  np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.booleans())
+def test_weighted_mean_matches_manual(seed, skipna):
+  rs = np.random.RandomState(seed)
+  x = rs.randn(4, 6).astype(np.float64)
+  x[rs.rand(4, 6) < 0.25] = np.nan
+  w = np.abs(rs.randn(6)) + 0.1
+  da = xds.DataArray(x, dims=("t", "lat"),
+                     coords={"lat": np.arange(6.0)})
+  wda = xds.DataArray(w, dims=("lat",),
+                      coords={"lat": np.arange(6.0)})
+  got = da.weighted(wda).mean("lat", skipna=skipna).values
+  if skipna:
+    mask = ~np.isnan(x)
+    num = np.nansum(x * w[None, :], axis=1)
+    den = (mask * w[None, :]).sum(axis=1)
+    want = num / den
+  else:
+    want = (x * w[None, :]).sum(axis=1) / w.sum()
+  np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_sel_isel_equivalence(seed):
+  rs = np.random.RandomState(seed)
+  n = 8
+  labels = np.sort(rs.choice(1000, size=n, replace=False))
+  x = rs.randn(n, 3).astype(np.float32)
+  da = xds.DataArray(
+      x, dims=("time", "k"), coords={"time": labels}
+  )
+  idx = rs.randint(0, n, size=4)
+  np.testing.assert_array_equal(
+      da.sel(time=labels[idx]).values, da.isel(time=idx).values
+  )
+  lo, hi = sorted(rs.choice(n, size=2, replace=False))
+  np.testing.assert_array_equal(
+      da.sel(time=slice(labels[lo], labels[hi])).values,
+      da.isel(time=slice(lo, hi + 1)).values,
+  )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_transpose_roundtrip(seed):
+  rs = np.random.RandomState(seed)
+  dims = ("a", "b", "c")
+  x = rs.randn(*[SIZES[d] for d in dims]).astype(np.float32)
+  da = xds.DataArray(x, dims=dims)
+  perm = list(dims)
+  rs.shuffle(perm)
+  out = da.transpose(*perm).transpose(*dims)
+  np.testing.assert_array_equal(out.values, x)
+  assert out.dims == dims

@@ -357,3 +357,83 @@ def test_streaming_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         res_full[k].values, res_resumed[k].values, rtol=1e-6
     )
+
+
+def test_multi_config_shared_streaming(tmp_path, monkeypatch):
+  """Grouped eval configs stream chunks once and match per-config runs."""
+  from weatherbench2_tpu.parallel import streaming
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-20",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="2 days", **{**kwargs, "time_stop": "2020-01-10"}
+      ),
+      seed=1,
+  )
+  tp, fp = str(tmp_path / "t.zarr"), str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(forecast, fp)
+
+  two_configs = {
+      "det": config.Eval(
+          metrics={"mse": metrics.MSE(), "bias": metrics.Bias()},
+          regions={"global": SliceRegion()},
+      ),
+      "det_temporal": config.Eval(
+          metrics={"mse": metrics.MSE()},
+          regions={"global": SliceRegion()},
+          temporal_mean=False,
+      ),
+  }
+
+  calls = []
+  orig = streaming._make_truth_chunk
+  monkeypatch.setattr(
+      streaming, "_make_truth_chunk",
+      lambda *a, **k: calls.append(1) or orig(*a, **k),
+  )
+
+  def _dc(out):
+    return config.Data(
+        selection=config.Selection(
+            variables=["2m_temperature"],
+            time_slice=slice("2020-01-01", "2020-01-08"),
+        ),
+        paths=config.Paths(
+            forecast=fp, obs=tp, output_dir=str(tmp_path / out)
+        ),
+        by_init=True,
+    )
+
+  evaluation.evaluate_with_mesh(
+      _dc("grouped"), two_configs, input_chunks={"init_time": 4}
+  )
+  grouped_calls = len(calls)
+  assert grouped_calls == 2, grouped_calls  # 8 inits / chunk 4 = 2 chunks
+
+  calls.clear()
+  for name, cfg in two_configs.items():
+    evaluation.evaluate_with_mesh(
+        _dc(f"solo_{name}"), {name: cfg}, input_chunks={"init_time": 4}
+    )
+  assert len(calls) == 4  # separate runs re-stream: 2 chunks x 2 configs
+
+  for name in two_configs:
+    a = xds.open_netcdf(
+        os.path.join(str(tmp_path / "grouped"), f"{name}.nc")
+    )
+    b = xds.open_netcdf(
+        os.path.join(str(tmp_path / f"solo_{name}"), f"{name}.nc")
+    )
+    for k in a.keys():
+      np.testing.assert_allclose(
+          a[k].values, b[k].transpose(*a[k].dims).values,
+          rtol=1e-6, atol=1e-8, err_msg=name,
+      )

@@ -330,8 +330,68 @@ def evaluate_streaming(
     checkpoint_every: int = 0,
 ) -> xds.Dataset:
   """Stream chunks through a fused metric program; return results dataset."""
+  return evaluate_streaming_multi(
+      forecast,
+      truth,
+      climatology,
+      {"": eval_config},
+      data_config,
+      input_chunks,
+      skipna=skipna,
+      mesh=mesh,
+      state=state,
+      checkpoint_path=checkpoint_path,
+      checkpoint_every=checkpoint_every,
+  )[""]
+
+
+def evaluate_streaming_multi(
+    forecast: xds.Dataset,
+    truth: xds.Dataset,
+    climatology: Optional[xds.Dataset],
+    eval_configs: Mapping[str, Any],
+    data_config,
+    input_chunks: Mapping[str, int],
+    skipna: bool = False,
+    mesh=None,
+    state: Optional[StreamingState] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+) -> dict:
+  """Stream chunks ONCE through the jit programs of several eval configs.
+
+  The reference's Beam pipeline reads each chunk once and fans it out to
+  every eval config's metric branch (reference evaluation.py:693-746);
+  this is the mesh-engine equivalent: one host read + one h2d transfer
+  per chunk, one jit chunk-program per config.  All configs must share
+  the inputs exactly, i.e. identical baseline-substitution flags,
+  derived variables, and against_analysis — `evaluate_with_mesh` groups
+  configs by that key before calling this.
+
+  Returns {config_name: results dataset}.  Checkpoint/resume (`state`,
+  `checkpoint_path`) is supported for single-config calls only.
+  """
   import jax
   import jax.numpy as jnp
+
+  cfg0 = next(iter(eval_configs.values()))
+  for cfg in eval_configs.values():
+    if (
+        cfg.evaluate_climatology != cfg0.evaluate_climatology
+        or cfg.evaluate_persistence != cfg0.evaluate_persistence
+        or cfg.evaluate_probabilistic_climatology
+        != cfg0.evaluate_probabilistic_climatology
+        or cfg.against_analysis != cfg0.against_analysis
+        or sorted(cfg.derived_variables) != sorted(cfg0.derived_variables)
+    ):
+      raise ValueError(
+          "evaluate_streaming_multi requires configs with identical "
+          "input construction (baselines/derived/against_analysis)"
+      )
+  if len(eval_configs) > 1 and (state is not None or checkpoint_path):
+    raise ValueError(
+        "checkpoint/resume is only supported for single-config streaming"
+    )
 
   # Persistent compilation cache: metric programs are compiled remotely on
   # some backends (tens of seconds); identical eval configs reuse them.
@@ -365,78 +425,95 @@ def evaluate_streaming(
   lead_chunk = int(input_chunks.get("lead_time", 0)) or None
 
   # --- probabilistic climatology baseline is built once from truth
+  # (identical flags across the group — validated above)
   prob_clim = None
-  if eval_config.evaluate_probabilistic_climatology:
+  if cfg0.evaluate_probabilistic_climatology:
     prob_clim = utils.make_probabilistic_climatology(
         truth,
-        eval_config.probabilistic_climatology_start_year,
-        eval_config.probabilistic_climatology_end_year,
-        eval_config.probabilistic_climatology_hour_interval,
+        cfg0.probabilistic_climatology_start_year,
+        cfg0.probabilistic_climatology_end_year,
+        cfg0.probabilistic_climatology_hour_interval,
     )
 
-  jit_metrics = {
-      k: m for k, m in eval_config.metrics.items() if m.supports_jit
+  jit_metrics_by = {
+      c: {k: m for k, m in cfg.metrics.items() if m.supports_jit}
+      for c, cfg in eval_configs.items()
   }
-  host_metrics = {
-      k: m for k, m in eval_config.metrics.items() if not m.supports_jit
+  host_metrics_by = {
+      c: {k: m for k, m in cfg.metrics.items() if not m.supports_jit}
+      for c, cfg in eval_configs.items()
   }
-  regions = eval_config.regions or {None: None}
+  regions_by = {
+      c: (cfg.regions or {None: None}) for c, cfg in eval_configs.items()
+  }
+  any_temporal = any(cfg.temporal_mean for cfg in eval_configs.values())
 
   # The fused path reshapes (lon, lat) into one cell axis, which would
   # force a resharding gather under spatial sharding — use the generic
   # (GSPMD-partitioned reductions) path there instead.
-  fused_plan = (
-      _build_fused_plan(jit_metrics, regions, forecast)
-      if spatial_shards == 1
-      else None
-  )
-
-  # ---- the fused per-chunk program (jit) ----------------------------------
-  def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
-    """Evaluate all jit metrics × regions; reduce over the chunk dim."""
-    if fused_plan is not None:
-      results = _fused_chunk_results(
-          fused_plan, forecast_c, truth_c, prepared_by_metric, skipna
+  fused_plan_by = {
+      c: (
+          _build_fused_plan(jit_metrics_by[c], regions_by[c], forecast)
+          if spatial_shards == 1
+          else None
       )
+      for c in eval_configs
+  }
+
+  # ---- one fused per-chunk program (jit) per eval config ------------------
+  def make_chunk_program(cname):
+    eval_config = eval_configs[cname]
+    jit_metrics = jit_metrics_by[cname]
+    regions = regions_by[cname]
+    fused_plan = fused_plan_by[cname]
+
+    def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
+      """Evaluate all jit metrics × regions; reduce over the chunk dim."""
+      if fused_plan is not None:
+        results = _fused_chunk_results(
+            fused_plan, forecast_c, truth_c, prepared_by_metric, skipna
+        )
+        sums = {}
+        counts = {}
+        for name, result in results.items():
+          if eval_config.temporal_mean:
+            s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
+            sums[name], counts[name] = s, c
+          else:
+            sums[name], counts[name] = result, None
+        return sums, counts
       sums = {}
       counts = {}
-      for name, result in results.items():
+      for name, metric in jit_metrics.items():
+        region_results = []
+        for region_name, region in regions.items():
+          res = metric.compute_chunk_prepared(
+              forecast_c,
+              truth_c,
+              prepared_by_metric[name],
+              region=region,
+              skipna=skipna,
+          )
+          if region_name is not None:
+            res = res.expand_dims(
+                region=np.asarray([region_name], dtype=object)
+            )
+          region_results.append(res)
+        result = (
+            xds.concat(region_results, "region")
+            if len(region_results) > 1 or None not in regions
+            else region_results[0]
+        )
         if eval_config.temporal_mean:
           s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
-          sums[name], counts[name] = s, c
+          sums[name] = s
+          counts[name] = c
         else:
-          sums[name], counts[name] = result, None
+          sums[name] = result
+          counts[name] = None
       return sums, counts
-    sums = {}
-    counts = {}
-    for name, metric in jit_metrics.items():
-      region_results = []
-      for region_name, region in regions.items():
-        res = metric.compute_chunk_prepared(
-            forecast_c,
-            truth_c,
-            prepared_by_metric[name],
-            region=region,
-            skipna=skipna,
-        )
-        if region_name is not None:
-          res = res.expand_dims(
-              region=np.asarray([region_name], dtype=object)
-          )
-        region_results.append(res)
-      result = (
-          xds.concat(region_results, "region")
-          if len(region_results) > 1 or None not in regions
-          else region_results[0]
-      )
-      if eval_config.temporal_mean:
-        s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
-        sums[name] = s
-        counts[name] = c
-      else:
-        sums[name] = result
-        counts[name] = None
-    return sums, counts
+
+    return chunk_program
 
   def _masked_sum_count(result, dim, mask, skipna_):
     sum_ds = xds.Dataset({}, coords={
@@ -467,7 +544,9 @@ def evaluate_streaming(
       cnt_ds[vname] = xds.Variable(dims, c)
     return sum_ds, cnt_ds
 
-  chunk_program_jit = jax.jit(chunk_program)
+  chunk_program_jit_by = {
+      c: jax.jit(make_chunk_program(c)) for c in eval_configs
+  }
 
   # ---- sharding ------------------------------------------------------------
   sharding_fn = None
@@ -494,31 +573,36 @@ def evaluate_streaming(
   # ---- chunk loop ----------------------------------------------------------
   if state is None:
     state = StreamingState()
-  sums_acc = state.sums
-  counts_acc = state.counts
-  nontemporal_results = []
+  nontemporal_results = {c: [] for c in eval_configs}
 
   def _prepare_one(ci, sl, lead_sl):
-    """Host-side work for one chunk: slice, align, derive, prepare, pad."""
+    """Host-side work for one chunk: slice, align, derive, prepare, pad.
+
+    The chunk is read, aligned, derived and transferred ONCE; only the
+    (cheap, host-side) `prepare_chunk` gathers are per config.
+    """
     f_chunk = forecast.isel({chunk_dim: sl})
     if lead_sl != slice(None):
       f_chunk = f_chunk.isel(lead_time=lead_sl)
     n_real = f_chunk.sizes[chunk_dim]
-    target = chunk_size if eval_config.temporal_mean else (
+    target = chunk_size if any_temporal else (
         -(-n_real // batch) * batch if mesh is not None else n_real
     )
     f_chunk = _pad_chunk(f_chunk, chunk_dim, target)
     time_mask = np.zeros(target, dtype=np.float64)
     time_mask[:n_real] = 1.0
     f_chunk, t_chunk = _make_truth_chunk(
-        f_chunk, truth, climatology, prob_clim, eval_config, data_config
+        f_chunk, truth, climatology, prob_clim, cfg0, data_config
     )
-    for dname, dv in eval_config.derived_variables.items():
+    for dname, dv in cfg0.derived_variables.items():
       f_chunk[dname] = dv.compute(f_chunk)
       t_chunk[dname] = dv.compute(t_chunk)
     prepared = {
-        name: m.prepare_chunk(f_chunk, t_chunk)
-        for name, m in jit_metrics.items()
+        c: {
+            name: m.prepare_chunk(f_chunk, t_chunk)
+            for name, m in jit_metrics_by[c].items()
+        }
+        for c in eval_configs
     }
     f_dev = _to_device(_normalize_any(f_chunk, chunk_dim), sharding_fn)
     t_dev = _to_device(_normalize_any(t_chunk, chunk_dim), sharding_fn)
@@ -534,10 +618,11 @@ def evaluate_streaming(
 
   for lead_i, lead_sl in enumerate(lead_slices):
     if lead_i == 0 and state.sums is not None:
-      sums_acc, counts_acc = state.sums, state.counts
+      sums_acc = {c: state.sums for c in eval_configs}
+      counts_acc = {c: state.counts for c in eval_configs}
     else:
-      sums_acc = None
-      counts_acc = None
+      sums_acc = {c: None for c in eval_configs}
+      counts_acc = {c: None for c in eval_configs}
     chunk_list = [
         (ci, sl)
         for ci, sl in enumerate(_chunk_slices(total, chunk_size))
@@ -568,84 +653,96 @@ def evaluate_streaming(
           )
 
         t0 = time.perf_counter()
-        sums, counts = chunk_program_jit(
-            f_dev, t_dev, p_dev, jnp.asarray(time_mask)
-        )
-        _vlog(f"chunk {ci}: program dispatch", t0)
-
-        # host metrics (e.g. RankHistogram) evaluated eagerly
-        for name, metric in host_metrics.items():
-          res = _eval_host_metric(
-              metric, f_chunk, t_chunk, regions, skipna, n_real, chunk_dim,
-              eval_config.temporal_mean,
+        for cname, eval_config in eval_configs.items():
+          sums, counts = chunk_program_jit_by[cname](
+              f_dev, t_dev, p_dev[cname], jnp.asarray(time_mask)
           )
-          sums[name], counts[name] = res
 
-        if eval_config.temporal_mean:
-          if sums_acc is None:
-            sums_acc, counts_acc = sums, counts
+          # host metrics (custom non-jit Metric subclasses) run eagerly
+          for name, metric in host_metrics_by[cname].items():
+            res = _eval_host_metric(
+                metric, f_chunk, t_chunk, regions_by[cname], skipna,
+                n_real, chunk_dim, eval_config.temporal_mean,
+            )
+            sums[name], counts[name] = res
+
+          if eval_config.temporal_mean:
+            if sums_acc[cname] is None:
+              sums_acc[cname], counts_acc[cname] = sums, counts
+            else:
+              sums_acc[cname] = jax.tree_util.tree_map(
+                  lambda a, b: a + b, sums_acc[cname], sums
+              )
+              counts_acc[cname] = jax.tree_util.tree_map(
+                  lambda a, b: a + b, counts_acc[cname], counts
+              )
           else:
-            sums_acc = jax.tree_util.tree_map(
-                lambda a, b: a + b, sums_acc, sums
-            )
-            counts_acc = jax.tree_util.tree_map(
-                lambda a, b: a + b, counts_acc, counts
-            )
-        else:
-          # un-padded per-time results with original coords restored
-          for name in sums:
-            res = sums[name]
-            res = res.isel({chunk_dim: np.arange(n_real)})
-            res = res.assign_coords({
-                chunk_dim: np.asarray(
-                    forecast.coords_dict()[chunk_dim].data
-                )[sl]
-            })
-            nontemporal_results.append((name, ci, res))
+            # un-padded per-time results with original coords restored
+            for name in sums:
+              res = sums[name]
+              res = res.isel({chunk_dim: np.arange(n_real)})
+              res = res.assign_coords({
+                  chunk_dim: np.asarray(
+                      forecast.coords_dict()[chunk_dim].data
+                  )[sl]
+              })
+              nontemporal_results[cname].append((name, ci, res))
+        _vlog(f"chunk {ci}: program dispatch", t0)
 
         state.chunk_index = ci + 1
         if checkpoint_path and checkpoint_every and (
             (ci + 1) % checkpoint_every == 0
         ):
-          StreamingState(sums_acc, counts_acc, ci + 1).save(
-              checkpoint_path
-          )
+          only = next(iter(eval_configs))
+          StreamingState(
+              sums_acc[only], counts_acc[only], ci + 1
+          ).save(checkpoint_path)
     finally:
       pool.shutdown(wait=True)
 
-    if eval_config.temporal_mean:
-      # fetch all accumulators to host in one batched device_get
-      t0 = time.perf_counter()
-      sums_acc, counts_acc = jax.device_get((sums_acc, counts_acc))
-      _vlog("final device_get", t0)
-      per_metric = []
-      for name in eval_config.metrics:
-        mean_ds = _finalize_mean(sums_acc[name], counts_acc[name])
-        mean_ds = mean_ds.expand_dims(
-            metric=np.asarray([name], dtype=object)
-        )
-        per_metric.append(mean_ds)
-      lead_results.append(merge_metric_results(per_metric))
-    else:
-      by_metric = {}
-      for name, ci, res in nontemporal_results:
-        by_metric.setdefault(name, []).append((ci, res))
-      per_metric = []
-      for name, items in by_metric.items():
-        items.sort()
-        cat = xds.concat([r for _, r in items], chunk_dim)
-        per_metric.append(
-            cat.expand_dims(metric=np.asarray([name], dtype=object))
-        )
-      lead_results.append(merge_metric_results(per_metric))
-      nontemporal_results = []
+    # fetch all configs' accumulators to host in one batched device_get
+    t0 = time.perf_counter()
+    sums_acc, counts_acc = jax.device_get((sums_acc, counts_acc))
+    _vlog("final device_get", t0)
+    per_config = {}
+    for cname, eval_config in eval_configs.items():
+      if eval_config.temporal_mean:
+        per_metric = []
+        for name in eval_config.metrics:
+          mean_ds = _finalize_mean(
+              sums_acc[cname][name], counts_acc[cname][name]
+          )
+          mean_ds = mean_ds.expand_dims(
+              metric=np.asarray([name], dtype=object)
+          )
+          per_metric.append(mean_ds)
+        per_config[cname] = merge_metric_results(per_metric)
+      else:
+        by_metric = {}
+        for name, ci, res in nontemporal_results[cname]:
+          by_metric.setdefault(name, []).append((ci, res))
+        per_metric = []
+        for name, items in by_metric.items():
+          items.sort()
+          cat = xds.concat(
+              [r for _, r in items], chunk_dim
+          ).to_numpy_ds()
+          per_metric.append(
+              cat.expand_dims(metric=np.asarray([name], dtype=object))
+          )
+        per_config[cname] = merge_metric_results(per_metric)
+        nontemporal_results[cname] = []
+    lead_results.append(per_config)
 
   if profile_dir:
     jax.profiler.stop_trace()
 
   if len(lead_results) == 1:
     return lead_results[0]
-  return xds.concat(lead_results, "lead_time")
+  return {
+      c: xds.concat([lr[c] for lr in lead_results], "lead_time")
+      for c in eval_configs
+  }
 
 
 def _finalize_mean(sum_ds: xds.Dataset, count_ds: xds.Dataset) -> xds.Dataset:

@@ -319,3 +319,29 @@ def test_bfloat16_transfer_mode(tmp_path, monkeypatch):
   )
   # and it is NOT bit-identical (the mode actually engaged)
   assert not np.array_equal(a.values, b.transpose(*a.dims).values)
+
+
+def test_auto_chunk_size(monkeypatch):
+  """Auto chunking respects the byte budget and the batch multiple."""
+  from weatherbench2_tpu import schema, xds
+  from weatherbench2_tpu.parallel import streaming
+
+  fc = schema.mock_forecast_data(
+      variables_3d=["geopotential"],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-03-01",
+      lead_stop="5 days",
+      spatial_resolution_in_degrees=5.625,
+  )
+  per_init = sum(
+      np.prod([s for d, s in zip(v.dims, v.shape) if d != "time"]) * 4
+      for v in fc.variables_dict().values()
+  )
+  monkeypatch.setenv("WB2_CHUNK_BYTES", str(per_init * 7))
+  got = streaming._auto_chunk_size(fc, "time", batch=1)
+  assert got == 7, got
+  got = streaming._auto_chunk_size(fc, "time", batch=4)
+  assert got == 4, got  # rounded down to a batch multiple
+  monkeypatch.setenv("WB2_CHUNK_BYTES", "1e18")
+  assert streaming._auto_chunk_size(fc, "time", batch=1) == fc.sizes["time"]

@@ -307,6 +307,33 @@ def _chunk_slices(total: int, size: int):
     yield slice(start, min(start + size, total))
 
 
+def _auto_chunk_size(forecast, chunk_dim: str, batch: int) -> int:
+  """Pick a chunk size targeting ~WB2_CHUNK_BYTES of HBM per chunk.
+
+  Used when the caller gives no --input_chunks: one full-dataset "chunk"
+  OOMs at official geometries, so size chunks to a budget (default 1.5 GB
+  of forecast payload; truth/climatology roughly double it, and HBM must
+  also hold the prefetched next chunk).
+  """
+  budget = float(os.environ.get("WB2_CHUNK_BYTES", 1.5e9))
+  total = forecast.sizes[chunk_dim]
+  per_entry = 0
+  for v in forecast.variables_dict().values():
+    if chunk_dim not in v.dims:
+      continue
+    cells = 1
+    for d, s in zip(v.dims, v.shape):
+      if d != chunk_dim:
+        cells *= s
+    per_entry += cells * np.dtype(getattr(v.data, "dtype", np.float32)).itemsize
+  if per_entry <= 0:
+    return total
+  size = max(1, int(budget // per_entry))
+  if batch > 1:
+    size = max(batch, (size // batch) * batch)
+  return min(total, size)
+
+
 def _pad_chunk(ds: xds.Dataset, chunk_dim: str, target: int) -> xds.Dataset:
   """Pad the chunk dim to `target` by repeating the last entry."""
   n = ds.sizes[chunk_dim]
@@ -412,15 +439,18 @@ def evaluate_streaming_multi(
   by_init = data_config.by_init
   chunk_dim = "init_time" if by_init else "time"
   total = forecast.sizes[chunk_dim]
-  chunk_size = int(input_chunks.get(chunk_dim, total))
   spatial_shards = 1
   if mesh is not None:
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     batch = int(axis_sizes.get("batch", 1))
     spatial_shards = int(axis_sizes.get("spatial", 1))
-    chunk_size = max(chunk_size, batch)
   else:
     batch = 1
+  if chunk_dim in input_chunks:
+    chunk_size = int(input_chunks[chunk_dim])
+  else:
+    chunk_size = _auto_chunk_size(forecast, chunk_dim, batch)
+  chunk_size = max(chunk_size, batch)
 
   lead_chunk = int(input_chunks.get("lead_time", 0)) or None
 

@@ -134,3 +134,95 @@ def test_transpose_roundtrip(seed):
   out = da.transpose(*perm).transpose(*dims)
   np.testing.assert_array_equal(out.values, x)
   assert out.dims == dims
+
+
+# ---- metric invariance properties -----------------------------------------
+
+
+def _rand_pair(seed, ensemble=None, align=True):
+  from weatherbench2_tpu import schema, utils
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-12",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=seed)
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          ensemble_size=ensemble, lead_stop="2 days",
+          **{**kwargs, "time_stop": "2020-01-08"},
+      ),
+      seed=seed + 1,
+  )
+  if align:
+    truth = truth.sel(time=fc["time"].values)
+  return fc, truth
+
+
+def _scaled(ds, a, b):
+  return ds.copy(
+      data={k: a * v.values + b for k, v in ds.data_arrays().items()}
+      if hasattr(ds, "data_arrays")
+      else {k: a * ds[k].values + b for k in ds.keys()}
+  )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(0, 1000),
+    st.floats(0.5, 4.0),
+    st.floats(-3.0, 3.0),
+)
+def test_metric_scale_shift_equivariance(seed, a, b):
+  """MAE/CRPS scale linearly and are shift-invariant; MSE scales as a²."""
+  from weatherbench2_tpu import metrics
+
+  fc, truth = _rand_pair(seed, ensemble=5)
+  fc2 = _scaled(fc, a, b)
+  truth2 = _scaled(truth, a, b)
+
+  crps = metrics.CRPS().compute(fc, truth)["2m_temperature"].values
+  crps2 = metrics.CRPS().compute(fc2, truth2)["2m_temperature"].values
+  np.testing.assert_allclose(crps2, a * crps, rtol=2e-4)
+
+  det = fc.isel(realization=0)
+  det2 = fc2.isel(realization=0)
+  mae = metrics.MAE().compute(det, truth)["2m_temperature"].values
+  mae2 = metrics.MAE().compute(det2, truth2)["2m_temperature"].values
+  np.testing.assert_allclose(mae2, a * mae, rtol=2e-4)
+
+  mse = metrics.MSE().compute(det, truth)["2m_temperature"].values
+  mse2 = metrics.MSE().compute(det2, truth2)["2m_temperature"].values
+  np.testing.assert_allclose(mse2, a * a * mse, rtol=2e-4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 1000))
+def test_crps_perfect_deterministic_forecast_is_zero(seed):
+  """CRPS of a single-member forecast equal to truth is exactly 0."""
+  from weatherbench2_tpu import metrics, schema
+
+  fc, truth = _rand_pair(seed, ensemble=1, align=False)
+  fc = schema.apply_time_conventions(fc, by_init=True)
+  aligned = truth.sel(time=fc["valid_time"])
+  target_dims = tuple(
+      d for d in fc["2m_temperature"].dims if d != "realization"
+  )
+  vals = aligned["2m_temperature"].variable.broadcast_to_dims(
+      target_dims,
+      {d: fc.sizes[d] for d in target_dims},
+  ).data
+  perfect = fc.copy(
+      data={
+          "2m_temperature": np.broadcast_to(
+              np.asarray(vals)[None], fc["2m_temperature"].shape
+          )
+      }
+  )
+  crps = metrics.CRPS().compute(perfect, aligned.rename(
+      {"time": "init_time"} if "time" in aligned.sizes else {}
+  ))["2m_temperature"].values
+  np.testing.assert_allclose(crps, 0.0, atol=1e-6)

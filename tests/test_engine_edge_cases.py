@@ -345,3 +345,61 @@ def test_auto_chunk_size(monkeypatch):
   assert got == 4, got  # rounded down to a batch multiple
   monkeypatch.setenv("WB2_CHUNK_BYTES", "1e18")
   assert streaming._auto_chunk_size(fc, "time", batch=1) == fc.sizes["time"]
+
+
+def test_chunk_prepare_retry(tmp_path, monkeypatch):
+  """A transiently failing chunk preparation is retried, not fatal."""
+  from weatherbench2_tpu import config, evaluation, metrics, schema, utils, xds
+  from weatherbench2_tpu.parallel import streaming
+  from weatherbench2_tpu.regions import SliceRegion
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-20",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  forecast = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="2 days", **{**kwargs, "time_stop": "2020-01-10"}
+      ),
+      seed=1,
+  )
+  tp, fp = str(tmp_path / "t.zarr"), str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(forecast, fp)
+
+  fails = {"left": 1}
+  orig = streaming._make_truth_chunk
+
+  def flaky(*args, **kw):
+    if fails["left"]:
+      fails["left"] -= 1
+      raise OSError("transient read failure")
+    return orig(*args, **kw)
+
+  monkeypatch.setattr(streaming, "_make_truth_chunk", flaky)
+  monkeypatch.setattr(streaming.time, "sleep", lambda s: None)
+
+  dc = config.Data(
+      selection=config.Selection(
+          variables=["2m_temperature"],
+          time_slice=slice("2020-01-01", "2020-01-08"),
+      ),
+      paths=config.Paths(
+          forecast=fp, obs=tp, output_dir=str(tmp_path / "out")
+      ),
+      by_init=True,
+  )
+  ec = {
+      "d": config.Eval(
+          metrics={"mse": metrics.MSE()},
+          regions={"global": SliceRegion()},
+      )
+  }
+  evaluation.evaluate_with_mesh(dc, ec, input_chunks={"init_time": 4})
+  res = xds.open_netcdf(os.path.join(dc.paths.output_dir, "d.nc"))
+  assert np.isfinite(res["2m_temperature"].values).all()
+  assert fails["left"] == 0

@@ -674,8 +674,18 @@ def evaluate_streaming_multi(
     try:
       for idx in range(len(chunk_list)):
         t0 = time.perf_counter()
-        (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
-         time_mask) = pending.pop(0).result()
+        try:
+          (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
+           time_mask) = pending.pop(0).result()
+        except Exception:  # pragma: no cover - transient IO/backend error
+          # one retry: storage and tunneled-accelerator transfers can fail
+          # transiently (the reference leans on Dataflow bundle retries
+          # for this — SURVEY §5; here the chunk is simply re-prepared)
+          ci_r, sl_r = chunk_list[idx]
+          _vlog(f"chunk {ci_r}: prepare failed, retrying once")
+          time.sleep(5)
+          (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
+           time_mask) = _prepare_one(ci_r, sl_r, lead_sl)
         _vlog(f"chunk {ci}: host prepare + h2d", t0)
         if idx + depth < len(chunk_list):
           pending.append(

@@ -354,3 +354,45 @@ def test_resample_daily_precip_accumulation(tmp_path):
       time=np.datetime64("2020-01-01")
   ).values
   np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_prob_clim_forecast_edge_behaviors():
+  """WRAP_YEAR wraps, REFLECT_RANGE reflects at the pool edges, sample-hold
+  repeats draws within the hold period."""
+  # dates near year end so the +/- 10-day window crosses the boundary
+  times = pd.date_range("2000-12-28", "2001-01-03", freq="1d")
+
+  wrap = cpcf.get_sampled_init_times(
+      times, 1990, 1995, day_window_size=21, ensemble_size=200,
+      with_replacement=True, sample_hold_days=0,
+      initial_time_edge_behavior="WRAP_YEAR", seed=0,
+  )
+  years = wrap.astype("datetime64[Y]").astype(int) + 1970
+  assert years.min() >= 1990 and years.max() <= 1995
+  doys = pd.DatetimeIndex(wrap.ravel()).dayofyear.values
+  # wrapping puts some samples in early January and some in late December
+  assert (doys <= 20).any() and (doys >= 350).any()
+
+  refl = cpcf.get_sampled_init_times(
+      times, 1990, 1995, day_window_size=21, ensemble_size=200,
+      with_replacement=True, sample_hold_days=0,
+      initial_time_edge_behavior="REFLECT_RANGE", seed=0,
+  )
+  years_r = refl.astype("datetime64[Y]").astype(int) + 1970
+  assert years_r.min() >= 1990 and years_r.max() <= 1995
+
+  # sample-hold: consecutive days within a 2-day hold share the same
+  # day offset from their own output time
+  held = cpcf.get_sampled_init_times(
+      times, 1990, 1995, day_window_size=11, ensemble_size=8,
+      with_replacement=True, sample_hold_days=2,
+      initial_time_edge_behavior="NO_EDGE", seed=3,
+  )
+  delta_days = (
+      (held - times.values[None, :]).astype("timedelta64[D]")
+  ).astype(np.int64)
+  for start in range(0, len(times) - 1, 2):
+    np.testing.assert_array_equal(
+        delta_days[:, start] % 365, delta_days[:, start + 1] % 365,
+        err_msg=f"hold period starting at {start}",
+    )

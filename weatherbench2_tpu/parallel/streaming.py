@@ -422,7 +422,13 @@ def evaluate_streaming_multi(
 
   # Persistent compilation cache: metric programs are compiled remotely on
   # some backends (tens of seconds); identical eval configs reuse them.
-  if jax.config.jax_compilation_cache_dir is None:
+  # TPU-only: caching CPU programs pins host-specific AOT artifacts that
+  # can SIGILL when the cache directory outlives the machine that wrote
+  # them, and CPU compiles are cheap anyway.
+  if (
+      jax.config.jax_compilation_cache_dir is None
+      and jax.default_backend() == "tpu"
+  ):
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("WB2_COMPILE_CACHE", "/tmp/wb2_jax_compile_cache"),

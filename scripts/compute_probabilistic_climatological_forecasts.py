@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 
 from weatherbench2_tpu import flag_utils
+from weatherbench2_tpu import utils
 from weatherbench2_tpu import xds
 
 REALIZATION = "realization"
@@ -212,8 +213,8 @@ def get_sampled_init_times(
     if strides.size > 1:
       raise ValueError("Cannot sample-hold with irregular output times.")
     stride = pd.Timedelta(strides[0])
-    hold_stride = pd.Timedelta(f"{sample_hold_days}d") // stride
-    if stride * hold_stride != pd.Timedelta(f"{sample_hold_days}d"):
+    hold_stride = pd.Timedelta(f"{sample_hold_days}D") // stride
+    if stride * hold_stride != pd.Timedelta(f"{sample_hold_days}D"):
       raise ValueError(
           f"{sample_hold_days=} not a multiple of the output stride."
       )
@@ -247,12 +248,12 @@ def main(argv):
   init_times = pd.date_range(
       INITIAL_TIME_START.value,
       INITIAL_TIME_END.value,
-      freq=pd.Timedelta(INITIAL_TIME_SPACING.value),
+      freq=pd.Timedelta(utils.normalize_timedelta_str(INITIAL_TIME_SPACING.value)),
   )
   lead_times = pd.timedelta_range(
       pd.Timedelta(0),
-      pd.Timedelta(FORECAST_DURATION.value),
-      freq=pd.Timedelta(TIMEDELTA_SPACING.value),
+      pd.Timedelta(utils.normalize_timedelta_str(FORECAST_DURATION.value)),
+      freq=pd.Timedelta(utils.normalize_timedelta_str(TIMEDELTA_SPACING.value)),
   ).values
 
   sampled = get_sampled_init_times(

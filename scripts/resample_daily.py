@@ -65,13 +65,13 @@ def main(argv):
       if normal:
         parts.append(
             utils.resample_in_time(
-                ds[normal], pd.to_timedelta(period), statistic
+                ds[normal], pd.to_timedelta(utils.normalize_timedelta_str(period)), statistic
             )
         )
       if accum:
         shifted = _shift_time(ds[accum], -np.timedelta64(1, "h"))
         summed = utils.resample_in_time(
-            shifted, pd.to_timedelta(period), "sum"
+            shifted, pd.to_timedelta(utils.normalize_timedelta_str(period)), "sum"
         )
         parts.append(summed)
       res = xds.merge(parts)

@@ -87,7 +87,7 @@ def resample_in_time_core(ds, method, period, statistic, skipna):
 
 def main(argv):
   ds = xds.open_zarr(INPUT_PATH.value)
-  period = pd.to_timedelta(PERIOD.value)
+  period = pd.to_timedelta(utils.normalize_timedelta_str(PERIOD.value))
   if TIME_START.value is not None or TIME_STOP.value is not None:
     ds = ds.sel({TIME_DIM.value: slice(TIME_START.value, TIME_STOP.value)})
 

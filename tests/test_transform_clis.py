@@ -236,7 +236,7 @@ def test_index_on_valid_time_cli(tmp_path):
 
 
 def test_prob_clim_forecast_sampling_properties():
-  times = pd.date_range("2000-06-01", "2000-06-10", freq="1d")
+  times = pd.date_range("2000-06-01", "2000-06-10", freq="1D")
   sampled = cpcf.get_sampled_init_times(
       times,
       climatology_start_year=1990,
@@ -263,7 +263,7 @@ def test_prob_clim_forecast_sampling_properties():
 
 
 def test_prob_clim_forecast_without_replacement_unique():
-  times = pd.date_range("2000-06-01", "2000-06-03", freq="1d")
+  times = pd.date_range("2000-06-01", "2000-06-03", freq="1D")
   sampled = cpcf.get_sampled_init_times(
       times, 1990, 1994, 5, ensemble_size=25, with_replacement=False,
       sample_hold_days=0, initial_time_edge_behavior="WRAP_YEAR", seed=1,
@@ -360,7 +360,7 @@ def test_prob_clim_forecast_edge_behaviors():
   """WRAP_YEAR wraps, REFLECT_RANGE reflects at the pool edges, sample-hold
   repeats draws within the hold period."""
   # dates near year end so the +/- 10-day window crosses the boundary
-  times = pd.date_range("2000-12-28", "2001-01-03", freq="1d")
+  times = pd.date_range("2000-12-28", "2001-01-03", freq="1D")
 
   wrap = cpcf.get_sampled_init_times(
       times, 1990, 1995, day_window_size=21, ensemble_size=200,

@@ -493,6 +493,22 @@ _STAT_FNS = {
 }
 
 
+def normalize_timedelta_str(s):
+  """Uppercase day/week units in pandas timedelta strings.
+
+  The reference's CLIs use strings like ``"1d"``/``"1w"``; pandas
+  deprecated lowercase 'd'/'w' unit codes, so normalize before parsing
+  while still accepting the reference's grammar.
+  """
+  if not isinstance(s, str):
+    return s
+  import re
+
+  return re.sub(
+      r"(\d\s*)([dw])\b", lambda m: m.group(1) + m.group(2).upper(), s
+  )
+
+
 def resample_in_time(
     ds: xds.Dataset,
     period,
@@ -510,7 +526,7 @@ def resample_in_time(
   """
   import pandas as pd
 
-  period = pd.to_timedelta(period)
+  period = pd.to_timedelta(normalize_timedelta_str(period))
   times = pd.DatetimeIndex(np.asarray(ds.coords_dict()[time_dim].data))
   if origin == "start_day":
     origin_ts = times[0].floor("D")

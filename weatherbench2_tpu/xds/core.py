@@ -984,7 +984,24 @@ class DataArray:
     kwargs = {}
     if ddof is not None:
       kwargs["ddof"] = ddof
-    data = fn(self.data, axis=axes, **kwargs)
+    if xp is np and fname.startswith("nan"):
+      # all-NaN slices legitimately reduce to NaN under skipna; silence
+      # numpy's "Mean of empty slice" warning like xarray does
+      import warnings as _warnings
+
+      with _warnings.catch_warnings():
+        _warnings.filterwarnings(
+            "ignore", r"All-NaN (slice|axis) encountered"
+        )
+        _warnings.filterwarnings(
+            "ignore", r"Mean of empty slice", category=RuntimeWarning
+        )
+        _warnings.filterwarnings(
+            "ignore", r"Degrees of freedom <= 0", category=RuntimeWarning
+        )
+        data = fn(self.data, axis=axes, **kwargs)
+    else:
+      data = fn(self.data, axis=axes, **kwargs)
     if keepdims:
       for ax in sorted(axes):
         data = xp.expand_dims(data, ax)

@@ -199,3 +199,27 @@ def test_skipna_semantics():
   np.testing.assert_allclose(
       np.asarray(got_skip["mse"])[0], want, rtol=2e-4, atol=1e-6
   )
+
+
+def test_pallas_nondivisible_edges_many_regions():
+  """Edge masking: L not a multiple of l_tile, B not of b_tile, R > 8."""
+  rs = np.random.RandomState(3)
+  b, l, r = 13, 1000, 13  # none aligned to (8, 128) tiling
+  f = rs.randn(b, l).astype(np.float32)
+  t = rs.randn(b, l).astype(np.float32)
+  c = rs.randn(b, l).astype(np.float32)
+  f[rs.rand(b, l) < 0.05] = np.nan
+  region_w = np.abs(rs.randn(r, l)).astype(np.float32)
+  region_w[rs.rand(r, l) < 0.3] = 0.0
+  sums, wsum, nanw = ops.fused_deterministic_sums(
+      f, t, c, region_w, b_tile=128, l_tile=256, interpret=True
+  )
+  ref = ops.fused_deterministic_sums_reference(
+      f.astype(np.float64), t.astype(np.float64), c.astype(np.float64),
+      region_w.astype(np.float64),
+  )
+  for got, want in zip((sums, wsum, nanw), ref):
+    assert np.asarray(got).shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), want, rtol=2e-4, atol=1e-3
+    )

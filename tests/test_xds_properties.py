@@ -226,3 +226,52 @@ def test_crps_perfect_deterministic_forecast_is_zero(seed):
       {"time": "init_time"} if "time" in aligned.sizes else {}
   ))["2m_temperature"].values
   np.testing.assert_allclose(crps, 0.0, atol=1e-6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 5))
+def test_concat_isel_roundtrip(seed, nsplit):
+  rs = np.random.RandomState(seed)
+  n = 12
+  x = rs.randn(n, 3).astype(np.float32)
+  da = xds.DataArray(
+      x, dims=("t", "k"), coords={"t": np.arange(n)}
+  )
+  cuts = np.unique(rs.randint(1, n, size=nsplit))
+  bounds = [0, *cuts.tolist(), n]
+  pieces = [
+      da.isel(t=slice(a, b)) for a, b in zip(bounds[:-1], bounds[1:])
+      if b > a
+  ]
+  back = xds.concat(pieces, "t")
+  np.testing.assert_array_equal(back.values, x)
+  np.testing.assert_array_equal(
+      np.asarray(back.coords["t"].data), np.arange(n)
+  )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_where_matches_numpy(seed):
+  rs = np.random.RandomState(seed)
+  x = rs.randn(5, 4).astype(np.float64)
+  da = xds.DataArray(x, dims=("a", "b"))
+  cond = da > 0
+  np.testing.assert_array_equal(
+      da.where(cond).values, np.where(x > 0, x, np.nan)
+  )
+  np.testing.assert_array_equal(
+      da.where(cond, -1.0).values, np.where(x > 0, x, -1.0)
+  )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_expand_dims_then_reduce_is_identity(seed):
+  rs = np.random.RandomState(seed)
+  x = rs.randn(4, 3).astype(np.float32)
+  da = xds.DataArray(x, dims=("a", "b"))
+  out = da.expand_dims(c=np.arange(2)).mean("c")
+  np.testing.assert_allclose(
+      out.transpose("a", "b").values, x, rtol=1e-6
+  )

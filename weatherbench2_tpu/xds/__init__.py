@@ -29,6 +29,15 @@ from .io_zarr import (
     to_zarr,
     write_zarr_region,
 )
+from .stream import (
+    RegionWriter,
+    ShapeStub,
+    clustered_positions,
+    iter_windows,
+    streaming_transform,
+    stub_variable,
+    template_dataset,
+)
 from .tree import ensure_registered as register_pytree
 
 try:  # register pytrees eagerly when jax is importable
@@ -58,4 +67,13 @@ __all__ = [
     "open_zarr",
     "to_zarr",
     "ZarrArray",
+    "RegionWriter",
+    "ShapeStub",
+    "clustered_positions",
+    "iter_windows",
+    "streaming_transform",
+    "stub_variable",
+    "template_dataset",
+    "create_zarr_template",
+    "write_zarr_region",
 ]

@@ -35,6 +35,128 @@ def _ts():
   return _TS
 
 
+# --- storage scheme dispatch -------------------------------------------------
+#
+# Paths may be local filesystem paths or URLs; the scheme picks the
+# tensorstore kvstore driver, so every CLI accepts e.g. a gs:// store
+# directly (the reference opens gs://weatherbench2/datasets/... via
+# xarray/gcsfs, /root/reference/weatherbench2/evaluation.py:92-136).
+
+_SCHEME_DRIVERS = {"gs": "gcs", "s3": "s3"}
+
+
+def _split_scheme(path: str):
+  for scheme in ("gs", "s3", "http", "https", "memory"):
+    prefix = scheme + "://"
+    if path.startswith(prefix):
+      return scheme, path[len(prefix):]
+  return None, path
+
+
+def is_remote(path: str) -> bool:
+  return _split_scheme(path)[0] is not None
+
+
+def _join_key(*parts: str) -> str:
+  return "/".join(p.strip("/") for p in parts if p)
+
+
+def _cache_context() -> dict:
+  """Optional tensorstore read-cache context (WB2_TS_CACHE_BYTES env)."""
+  limit = os.environ.get("WB2_TS_CACHE_BYTES")
+  if not limit:
+    return {}
+  return {
+      "context": {"cache_pool": {"total_bytes_limit": int(limit)}},
+      "recheck_cached_data": "open",
+  }
+
+
+def kvstore_spec(path: str, child: str = ""):
+  """tensorstore kvstore spec for a local path or gs/s3/http(s) URL."""
+  scheme, rest = _split_scheme(path)
+  if scheme is None:
+    return {"driver": "file",
+            "path": os.path.join(path, child) if child else path}
+  if scheme in _SCHEME_DRIVERS:
+    bucket, _, prefix = rest.partition("/")
+    return {
+        "driver": _SCHEME_DRIVERS[scheme],
+        "bucket": bucket,
+        "path": _join_key(prefix, child),
+    }
+  if scheme in ("http", "https"):
+    return {
+        "driver": "http",
+        "base_url": f"{scheme}://{rest.rstrip('/')}/",
+        "path": child.strip("/"),
+    }
+  if scheme == "memory":
+    return {"driver": "memory", "path": _join_key(rest, child)}
+  raise ValueError(f"unsupported storage scheme in {path!r}")
+
+
+def _array_spec(path: str, name: str, metadata=None, create=False,
+                delete_existing=False) -> dict:
+  spec: dict[str, Any] = {
+      "driver": "zarr",
+      "kvstore": kvstore_spec(path, name),
+  }
+  if metadata is not None:
+    spec["metadata"] = metadata
+  if create:
+    spec["create"] = True
+  if delete_existing:
+    spec["delete_existing"] = True
+  spec.update(_cache_context())
+  return spec
+
+
+def _kv_open(path: str):
+  return _ts().KvStore.open(kvstore_spec(path)).result()
+
+
+def _read_json_key(path: str, key: str):
+  """Read+parse a JSON key from the store; None when absent."""
+  if not is_remote(path):
+    full = os.path.join(path, key)
+    if not os.path.exists(full):
+      return None
+    with open(full) as f:
+      return json.load(f)
+  result = _kv_open(path).read(key).result()
+  if result.state != "value":
+    return None
+  return json.loads(bytes(result.value).decode())
+
+
+def _write_json_key(path: str, key: str, obj) -> None:
+  data = json.dumps(obj, indent=2, default=str)
+  if not is_remote(path):
+    full = os.path.join(path, key)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "w") as f:
+      f.write(data)
+    return
+  _kv_open(path).write(key, data.encode()).result()
+
+
+def _list_array_names(path: str) -> list[str]:
+  """Child array names (directories containing .zarray)."""
+  names = set()
+  if not is_remote(path):
+    for name in os.listdir(path):
+      if os.path.exists(os.path.join(path, name, ".zarray")):
+        names.add(name)
+  else:
+    for key in _kv_open(path).list().result():
+      key = key.decode() if isinstance(key, bytes) else str(key)
+      parts = key.split("/")
+      if len(parts) == 2 and parts[1] == ".zarray":
+        names.add(parts[0])
+  return sorted(names)
+
+
 _CF_UNITS = {
     "nanoseconds": "ns",
     "microseconds": "us",
@@ -83,11 +205,6 @@ def _dtype_str(dtype: np.dtype) -> str:
   return dtype.newbyteorder("<").str
 
 
-def _write_json(path: str, obj) -> None:
-  with open(path, "w") as f:
-    json.dump(obj, f, indent=2, default=str)
-
-
 def _var_chunks(shape, chunks_spec, dims):
   if chunks_spec is None:
     return [max(1, s) for s in shape]
@@ -104,9 +221,10 @@ def to_zarr(
     chunks: Optional[Mapping[str, int]] = None,
     mode: str = "w",
 ) -> None:
-  """Write a Dataset to a zarr v2 store on the local filesystem."""
-  os.makedirs(path, exist_ok=True)
-  _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+  """Write a Dataset to a zarr v2 store (local path or gs/s3/http URL)."""
+  if not is_remote(path):
+    os.makedirs(path, exist_ok=True)
+  _write_json_key(path, ".zgroup", {"zarr_format": 2})
 
   group_attrs: dict[str, Any] = dict(ds.attrs)
   string_arrays: dict[str, Any] = {}
@@ -118,45 +236,48 @@ def to_zarr(
   for name, v in ds.variables_dict().items():
     all_vars[name] = (v, False)
 
+  # CF/xarray convention: data vars carry a "coordinates" attr naming the
+  # non-dimension coords, so coord-ness round-trips without name heuristics
+  nondim_coords = [
+      name for name, (v, is_coord) in all_vars.items()
+      if is_coord and name not in v.dims
+  ]
+
   futures = []
   ts = _ts()
-  for name, (var, _is_coord) in all_vars.items():
+  for name, (var, is_coord) in all_vars.items():
     values = core._to_numpy(var.data)
     if values.dtype.kind in ("U", "O", "S"):
       string_arrays[name] = {
           "dims": list(var.dims),
           "values": np.asarray(values, dtype=str).tolist(),
+          "coord": is_coord,
       }
       continue
     data, cf_attrs = _encode_cf(values)
     zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
+    if not is_coord and nondim_coords:
+      zattrs.setdefault("coordinates", " ".join(nondim_coords))
     chunk_shape = _var_chunks(data.shape, chunks, var.dims)
-    spec = {
-        "driver": "zarr",
-        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
-        "metadata": {
-            "shape": list(data.shape),
-            "chunks": chunk_shape if data.ndim else [],
-            "dtype": _dtype_str(data.dtype),
-            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
-                           "shuffle": 2},
-            "fill_value": None,
-            "filters": None,
-            "order": "C",
-            "zarr_format": 2,
-        },
-        "create": True,
-        "delete_existing": mode == "w",
+    metadata = {
+        "shape": list(data.shape),
+        "chunks": chunk_shape if data.ndim else [],
+        "dtype": _dtype_str(data.dtype),
+        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                       "shuffle": 2},
+        "fill_value": None,
+        "filters": None,
+        "order": "C",
+        "zarr_format": 2,
     }
-    arr = ts.open(spec).result()
+    arr = ts.open(
+        _array_spec(path, name, metadata, create=True,
+                    delete_existing=mode == "w")
+    ).result()
     futures.append(arr.write(data))
-    _write_json(os.path.join(path, name, ".zattrs"), zattrs)
-    zarray = json.loads(
-        open(os.path.join(path, name, ".zarray")).read()
-    ) if os.path.exists(os.path.join(path, name, ".zarray")) else spec[
-        "metadata"
-    ]
-    consolidated[f"{name}/.zarray"] = zarray
+    _write_json_key(path, f"{name}/.zattrs", zattrs)
+    zarray = _read_json_key(path, f"{name}/.zarray")
+    consolidated[f"{name}/.zarray"] = metadata if zarray is None else zarray
     consolidated[f"{name}/.zattrs"] = zattrs
 
   for f in futures:
@@ -164,10 +285,10 @@ def to_zarr(
 
   if string_arrays:
     group_attrs["_xds_string_arrays"] = string_arrays
-  _write_json(os.path.join(path, ".zattrs"), group_attrs)
+  _write_json_key(path, ".zattrs", group_attrs)
   consolidated[".zattrs"] = group_attrs
-  _write_json(
-      os.path.join(path, ".zmetadata"),
+  _write_json_key(
+      path, ".zmetadata",
       {"metadata": consolidated, "zarr_consolidated_format": 1},
   )
 
@@ -183,11 +304,16 @@ def create_zarr_template(
   this is the idempotent template+chunk-write output model (regions can be
   written concurrently/partially and re-runs overwrite cleanly).
   """
-  os.makedirs(path, exist_ok=True)
-  _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+  if not is_remote(path):
+    os.makedirs(path, exist_ok=True)
+  _write_json_key(path, ".zgroup", {"zarr_format": 2})
   group_attrs: dict[str, Any] = dict(ds.attrs)
   string_arrays: dict[str, Any] = {}
+  consolidated: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
   ts = _ts()
+  nondim_coords = [
+      name for name, v in ds.coords_dict().items() if name not in v.dims
+  ]
 
   # coords are small: write them eagerly
   for name, var in ds.coords_dict().items():
@@ -196,31 +322,28 @@ def create_zarr_template(
       string_arrays[name] = {
           "dims": list(var.dims),
           "values": np.asarray(values, dtype=str).tolist(),
+          "coord": True,
       }
       continue
     data, cf_attrs = _encode_cf(values)
-    spec = {
-        "driver": "zarr",
-        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
-        "metadata": {
-            "shape": list(data.shape),
-            "chunks": [max(1, s) for s in data.shape] if data.ndim else [],
-            "dtype": _dtype_str(data.dtype),
-            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
-                           "shuffle": 2},
-            "fill_value": None,
-            "filters": None,
-            "order": "C",
-            "zarr_format": 2,
-        },
-        "create": True,
-        "delete_existing": True,
+    metadata = {
+        "shape": list(data.shape),
+        "chunks": [max(1, s) for s in data.shape] if data.ndim else [],
+        "dtype": _dtype_str(data.dtype),
+        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                       "shuffle": 2},
+        "fill_value": None,
+        "filters": None,
+        "order": "C",
+        "zarr_format": 2,
     }
-    ts.open(spec).result().write(data).result()
-    _write_json(
-        os.path.join(path, name, ".zattrs"),
-        {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs},
-    )
+    ts.open(
+        _array_spec(path, name, metadata, create=True, delete_existing=True)
+    ).result().write(data).result()
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
+    _write_json_key(path, f"{name}/.zattrs", zattrs)
+    consolidated[f"{name}/.zarray"] = metadata
+    consolidated[f"{name}/.zattrs"] = zattrs
 
   # data vars: create metadata only; NaN fill for floats
   for name, var in ds.variables_dict().items():
@@ -228,42 +351,40 @@ def create_zarr_template(
     shape = [var.sizes[d] for d in var.dims]
     chunk_shape = _var_chunks(shape, chunks, var.dims)
     is_float = values_dtype.kind == "f"
-    spec = {
-        "driver": "zarr",
-        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
-        "metadata": {
-            "shape": shape,
-            "chunks": chunk_shape,
-            "dtype": _dtype_str(values_dtype),
-            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
-                           "shuffle": 2},
-            "fill_value": "NaN" if is_float else None,
-            "filters": None,
-            "order": "C",
-            "zarr_format": 2,
-        },
-        "create": True,
-        "delete_existing": True,
+    metadata = {
+        "shape": shape,
+        "chunks": chunk_shape,
+        "dtype": _dtype_str(values_dtype),
+        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                       "shuffle": 2},
+        "fill_value": "NaN" if is_float else None,
+        "filters": None,
+        "order": "C",
+        "zarr_format": 2,
     }
-    ts.open(spec).result()
-    _write_json(
-        os.path.join(path, name, ".zattrs"),
-        {"_ARRAY_DIMENSIONS": list(var.dims), **var.attrs},
-    )
+    ts.open(
+        _array_spec(path, name, metadata, create=True, delete_existing=True)
+    ).result()
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **var.attrs}
+    if nondim_coords:
+      zattrs.setdefault("coordinates", " ".join(nondim_coords))
+    _write_json_key(path, f"{name}/.zattrs", zattrs)
+    consolidated[f"{name}/.zarray"] = metadata
+    consolidated[f"{name}/.zattrs"] = zattrs
 
   if string_arrays:
     group_attrs["_xds_string_arrays"] = string_arrays
-  _write_json(os.path.join(path, ".zattrs"), group_attrs)
+  _write_json_key(path, ".zattrs", group_attrs)
+  consolidated[".zattrs"] = group_attrs
+  _write_json_key(
+      path, ".zmetadata",
+      {"metadata": consolidated, "zarr_consolidated_format": 1},
+  )
 
 
 def write_zarr_region(path: str, name: str, key, data: np.ndarray):
   """Write a region of a zarr array; returns a tensorstore future."""
-  arr = _ts().open(
-      {
-          "driver": "zarr",
-          "kvstore": {"driver": "file", "path": os.path.join(path, name)},
-      }
-  ).result()
+  arr = _ts().open(_array_spec(path, name)).result()
   return arr[key].write(np.ascontiguousarray(data))
 
 
@@ -355,15 +476,7 @@ class ZarrArray:
   @property
   def store(self):
     if self._store is None:
-      self._store = _ts().open(
-          {
-              "driver": "zarr",
-              "kvstore": {
-                  "driver": "file",
-                  "path": os.path.join(self.path, self.name),
-              },
-          }
-      ).result()
+      self._store = _ts().open(_array_spec(self.path, self.name)).result()
     return self._store
 
   @property
@@ -384,46 +497,51 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
   from storage only when a concrete (chunk-sized) slice is materialized —
   the streaming engine's zarr→HBM path.
   """
-  meta_path = os.path.join(path, ".zmetadata")
   entries: dict[str, dict] = {}
   group_attrs: dict[str, Any] = {}
-  if os.path.exists(meta_path):
-    with open(meta_path) as f:
-      meta = json.load(f)["metadata"]
+  consolidated = _read_json_key(path, ".zmetadata")
+  if consolidated is not None:
+    meta = consolidated["metadata"]
     group_attrs = dict(meta.get(".zattrs", {}))
     for key, val in meta.items():
       if key.endswith("/.zattrs"):
         entries[key[: -len("/.zattrs")]] = val
   else:
-    if os.path.exists(os.path.join(path, ".zattrs")):
-      with open(os.path.join(path, ".zattrs")) as f:
-        group_attrs = json.load(f)
-    for name in sorted(os.listdir(path)):
-      sub = os.path.join(path, name)
-      if os.path.isdir(sub) and os.path.exists(os.path.join(sub, ".zarray")):
-        zattrs = {}
-        if os.path.exists(os.path.join(sub, ".zattrs")):
-          with open(os.path.join(sub, ".zattrs")) as f:
-            zattrs = json.load(f)
-        entries[name] = zattrs
+    group_attrs = _read_json_key(path, ".zattrs") or {}
+    for name in _list_array_names(path):
+      entries[name] = _read_json_key(path, f"{name}/.zattrs") or {}
 
   string_arrays = group_attrs.pop("_xds_string_arrays", {})
 
   arrays: dict[str, ZarrArray] = {}
+  dim_names = set()
+  declared_coords: set[str] = set()
+  has_declarations = False
   for name, zattrs in entries.items():
     if "_ARRAY_DIMENSIONS" not in zattrs:
       continue
+    dim_names.update(zattrs["_ARRAY_DIMENSIONS"])
+    coords_attr = zattrs.get("coordinates")
+    if coords_attr is not None:
+      has_declarations = True
+      declared_coords.update(str(coords_attr).split())
     arrays[name] = ZarrArray(path, name, zattrs)
+
+  def _is_coord_name(name: str) -> bool:
+    # xarray rule: dimension coordinates by name; other coords only when
+    # declared via the CF "coordinates" attribute.  The name whitelist is
+    # a fallback for legacy stores that carry no declarations at all.
+    if name in dim_names:
+      return True
+    if has_declarations:
+      return name in declared_coords
+    return name in _KNOWN_COORD_NAMES
 
   variables: dict[str, core.Variable] = {}
   if lazy:
     # coords eager (they drive selection); data variables lazy
-    dim_names_prelim = set()
-    for arr in arrays.values():
-      dim_names_prelim.update(arr.dims)
     for name, arr in arrays.items():
-      is_coord = name in dim_names_prelim or name in _KNOWN_COORD_NAMES
-      if is_coord:
+      if _is_coord_name(name):
         variables[name] = core.Variable(arr.dims, arr.read(), arr.attrs)
       else:
         store = arr.store
@@ -446,31 +564,36 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
         arr = arrays[name]
         variables[name] = core.Variable(arr.dims, fut.result(), arr.attrs)
 
+  string_coords: set[str] = set()
   for name, spec in string_arrays.items():
     variables[name] = core.Variable(
         tuple(spec["dims"]), np.asarray(spec["values"], dtype=object)
     )
+    dim_names.update(spec["dims"])
+    is_coord = spec.get("coord")
+    if is_coord or (is_coord is None and name in _KNOWN_COORD_NAMES):
+      string_coords.add(name)
 
-  dim_names = set()
-  for v in variables.values():
-    dim_names.update(v.dims)
   coords = {}
   data_vars = {}
   for name, v in variables.items():
-    if name in dim_names or _looks_like_coord(name, v, dim_names):
+    if name in string_arrays:
+      is_coord = name in string_coords or name in dim_names
+    else:
+      is_coord = _is_coord_name(name)
+    v.attrs.pop("coordinates", None)  # encoding detail, not a real attr
+    if is_coord:
       coords[name] = v
     else:
       data_vars[name] = v
   return core.Dataset(data_vars, coords=coords, attrs=group_attrs)
 
 
+# Fallback classification for legacy stores with no "coordinates"
+# declarations anywhere (see _is_coord_name in open_zarr).
 _KNOWN_COORD_NAMES = {
     "latitude", "longitude", "level", "time", "init_time", "valid_time",
     "lead_time", "prediction_timedelta", "dayofyear", "hour", "quantile",
     "realization", "number", "metric", "region", "bins", "zonal_wavenumber",
     "wavelength", "frequency",
 }
-
-
-def _looks_like_coord(name, var, dim_names) -> bool:
-  return name in _KNOWN_COORD_NAMES

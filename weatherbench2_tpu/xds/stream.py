@@ -1,0 +1,234 @@
+"""Streaming transform harness: chunk windows + zarr template region writes.
+
+This is the shared scaffolding that lets every pipeline CLI process
+terabyte-scale zarr stores with bounded host memory, replacing the
+reference's Beam ``DatasetToChunks -> transform -> ChunksToZarr`` pattern
+(e.g. /root/reference/scripts/resample_in_time.py:312-451,
+/root/reference/scripts/compute_derived_variables.py:245-308):
+
+  * ``iter_windows`` enumerates per-dimension slice windows (the analogue
+    of xarray-beam chunk keys);
+  * ``template_dataset`` builds an output template whose data variables
+    are shape/dtype stubs only — no full-size allocation — suitable for
+    ``create_zarr_template`` (NaN-filled, idempotent region writes);
+  * ``RegionWriter`` creates the template store and writes computed
+    pieces region-wise with a bounded number of in-flight tensorstore
+    futures, so peak RSS is set by the chunk budget, not the dataset.
+
+Inputs are expected to be opened with ``open_zarr(path, lazy=True)`` so
+only the bytes of the window being processed are ever read.
+"""
+from __future__ import annotations
+
+import collections
+from typing import Any, Callable, Iterator, Mapping, Optional, Sequence
+
+import numpy as np
+
+from . import core
+from . import io_zarr
+
+
+class ShapeStub(core.LazyArrayBase):
+  """Shape/dtype-only array payload for output templates.
+
+  Accepted by ``core.Variable`` (it is a LazyArrayBase) but holds no
+  bytes; materializing it is an error — templates are metadata only.
+  """
+
+  __slots__ = ("shape", "dtype")
+
+  def __init__(self, shape: Sequence[int], dtype):
+    self.shape = tuple(int(s) for s in shape)
+    self.dtype = np.dtype(dtype)
+
+  @property
+  def ndim(self) -> int:
+    return len(self.shape)
+
+  @property
+  def size(self) -> int:
+    return int(np.prod(self.shape)) if self.shape else 1
+
+  def __array__(self, dtype=None):
+    raise ValueError(
+        "ShapeStub is a template-only payload and holds no data; "
+        "write real chunks through RegionWriter instead."
+    )
+
+  def __getitem__(self, key):
+    raise ValueError("ShapeStub payloads cannot be sliced.")
+
+  def __repr__(self):
+    return f"ShapeStub(shape={self.shape}, dtype={self.dtype})"
+
+
+def stub_variable(dims: Sequence[str], sizes: Mapping[str, int],
+                  dtype, attrs=None) -> core.Variable:
+  """A template Variable with no allocated data."""
+  return core.Variable(
+      tuple(dims), ShapeStub([sizes[d] for d in dims], dtype), attrs
+  )
+
+
+def template_dataset(
+    probe: core.Dataset,
+    full_sizes: Mapping[str, int],
+    coords: Optional[Mapping[str, core.Variable]] = None,
+) -> core.Dataset:
+  """Expand a probe-chunk output to a full-size, allocation-free template.
+
+  ``probe`` is the result of running the transform on one small window.
+  Every dim present in ``full_sizes`` is expanded to its full extent;
+  other dims keep the probe's size.  ``coords`` supplies full-size
+  coordinates for the expanded dims (probe coords are kept for the rest).
+  """
+  tvars = {}
+  for name, v in probe.variables_dict().items():
+    sizes = {
+        d: int(full_sizes.get(d, v.sizes[d])) for d in v.dims
+    }
+    tvars[name] = stub_variable(v.dims, sizes, v.dtype, v.attrs)
+  out_coords = dict(probe.coords_dict())
+  if coords:
+    for k, v in coords.items():
+      out_coords[k] = v
+  # drop probe coords that are still probe-sized along an expanded dim
+  for k in list(out_coords):
+    v = out_coords[k]
+    for d in v.dims:
+      if d in full_sizes and v.sizes[d] != int(full_sizes[d]):
+        raise ValueError(
+            f"template coord {k!r} has size {v.sizes[d]} along {d!r} but "
+            f"the full extent is {full_sizes[d]}; pass a full-size coord."
+        )
+  return core.Dataset(tvars, coords=out_coords, attrs=dict(probe.attrs))
+
+
+def iter_windows(
+    sizes: Mapping[str, int],
+    chunks: Mapping[str, int],
+) -> Iterator[dict[str, slice]]:
+  """Yield dicts of dim -> slice covering ``sizes`` in C order.
+
+  Dims absent from ``chunks`` (or with chunk -1/None) are not iterated:
+  each window spans them fully (and omits them from the dict).
+  """
+  dims = [
+      d for d in chunks
+      if d in sizes and chunks[d] not in (-1, None) and chunks[d] < sizes[d]
+  ]
+  if not dims:
+    yield {}
+    return
+  steps = [int(chunks[d]) for d in dims]
+  for d, s in zip(dims, steps):
+    if s <= 0:
+      raise ValueError(f"chunk size for {d!r} must be positive, got {s}")
+
+  def rec(i: int) -> Iterator[dict[str, slice]]:
+    if i == len(dims):
+      yield {}
+      return
+    d, step = dims[i], steps[i]
+    for start in range(0, sizes[d], step):
+      head = {d: slice(start, min(start + step, sizes[d]))}
+      for rest in rec(i + 1):
+        yield {**head, **rest}
+
+  yield from rec(0)
+
+
+class RegionWriter:
+  """Create a zarr template and write Dataset pieces into regions.
+
+  Keeps at most ``max_inflight`` tensorstore write futures pending so the
+  writer, not the dataset size, bounds memory.  Pieces are transposed to
+  the template's dim order and cast to the template dtype.
+  """
+
+  def __init__(
+      self,
+      path: str,
+      template: core.Dataset,
+      chunks: Optional[Mapping[str, int]] = None,
+      max_inflight: int = 32,
+  ):
+    self.path = path
+    self.template = template
+    self.max_inflight = int(max_inflight)
+    self._futures: collections.deque = collections.deque()
+    io_zarr.create_zarr_template(template, path, chunks=chunks)
+    self._tvars = template.variables_dict()
+
+  def _drain(self, down_to: int) -> None:
+    while len(self._futures) > down_to:
+      self._futures.popleft().result()
+
+  def write_array(self, name: str, region_key: tuple, data: np.ndarray):
+    self._drain(self.max_inflight - 1)
+    self._futures.append(
+        io_zarr.write_zarr_region(self.path, name, region_key, data)
+    )
+
+  def write(self, piece: core.Dataset, region: Mapping[str, Any]) -> None:
+    """Write every data variable of ``piece`` at ``region``.
+
+    ``region`` maps dim name -> slice (in template index space).  Dims of
+    a variable not present in ``region`` are written in full.
+    """
+    for name, v in piece.variables_dict().items():
+      tvar = self._tvars.get(name)
+      if tvar is None:
+        raise KeyError(f"{name!r} is not in the output template")
+      if v.dims != tvar.dims:
+        v = v.transpose(*tvar.dims)
+      key = tuple(region.get(d, slice(None)) for d in tvar.dims)
+      data = np.asarray(v.data)
+      if data.dtype != tvar.dtype:
+        data = data.astype(tvar.dtype)
+      self.write_array(name, key, data)
+
+  def finish(self) -> None:
+    self._drain(0)
+
+
+def streaming_transform(
+    out_template: core.Dataset,
+    out_path: str,
+    stream_chunks: Mapping[str, int],
+    compute: Callable[[dict[str, slice]], core.Dataset],
+    output_chunks: Optional[Mapping[str, int]] = None,
+    max_inflight: int = 32,
+) -> None:
+  """Stream ``compute(window) -> piece`` into a zarr template.
+
+  Windows iterate over the *output* index space (``out_template`` sizes
+  restricted to ``stream_chunks``); ``compute`` maps each output window
+  to the Dataset piece covering it, reading whatever input it needs.
+  """
+  writer = RegionWriter(
+      out_path, out_template, chunks=output_chunks, max_inflight=max_inflight
+  )
+  for window in iter_windows(out_template.sizes, stream_chunks):
+    writer.write(compute(window), window)
+  writer.finish()
+
+
+def clustered_positions(positions: np.ndarray,
+                        max_gap: int = 16) -> list[slice]:
+  """Group sorted unique positions into contiguous-ish read slices.
+
+  Returns slices covering all positions, starting a new slice whenever
+  the gap between consecutive positions exceeds ``max_gap`` — so a
+  scattered gather over a huge axis (e.g. climatological samples across
+  60 years) turns into a few bounded reads instead of one bounding-box
+  read of the entire axis.
+  """
+  pos = np.unique(np.asarray(positions, dtype=np.int64))
+  if pos.size == 0:
+    return []
+  breaks = np.nonzero(np.diff(pos) > max_gap)[0]
+  starts = np.concatenate([[0], breaks + 1])
+  ends = np.concatenate([breaks, [pos.size - 1]])
+  return [slice(int(pos[a]), int(pos[b]) + 1) for a, b in zip(starts, ends)]

@@ -48,13 +48,67 @@ def _impose_data_selection(ds: xds.Dataset) -> xds.Dataset:
 
 
 def main(argv):
-  ds = _impose_data_selection(xds.open_zarr(INPUT_PATH.value))
+  ds = _impose_data_selection(xds.open_zarr(INPUT_PATH.value, lazy=True))
   dims = list(AVERAGING_DIMS.value)
-  if "latitude" in dims:
-    weights = metrics.get_lat_weights(ds)
-    ds = ds.map(lambda da: da * weights if "latitude" in da.dims else da)
-  out = ds.mean(dims, skipna=SKIPNA.value)
-  xds.to_zarr(out, OUTPUT_PATH.value)
+  weights = metrics.get_lat_weights(ds) if "latitude" in dims else None
+
+  def reduce(block):
+    if weights is not None:
+      block = block.map(
+          lambda da: da * weights if "latitude" in da.dims else da
+      )
+    return block.mean(dims, skipna=SKIPNA.value)
+
+  time_dim = TIME_DIM.value
+  if time_dim not in ds.sizes:
+    xds.to_zarr(reduce(ds), OUTPUT_PATH.value)
+    return
+
+  if time_dim in dims:
+    # reducing over time itself: stream time blocks through running
+    # (sum, count) accumulators — the xbeam.Mean-with-fanout analogue
+    # (/root/reference/scripts/compute_averages.py:155-166)
+    block_size = xds.stream.default_block(ds, time_dim)
+    n = ds.sizes[time_dim]
+    total = None
+    count = None
+    for start in range(0, n, block_size):
+      block = ds.isel({time_dim: slice(start, start + block_size)})
+      if weights is not None:
+        block = block.map(
+            lambda da: da * weights if "latitude" in da.dims else da
+        )
+      s = block.sum(dims, skipna=SKIPNA.value)
+      total = s if total is None else total + s
+      if SKIPNA.value:
+        c = block.notnull().astype(np.float64).sum(dims)
+        count = c if count is None else count + c
+    if SKIPNA.value:
+      out = total / count
+    else:
+      out = total.copy()
+      for name in total.keys():
+        denom = float(np.prod(
+            [ds.sizes[d] for d in dims if d in ds[name].dims]
+        ))
+        out[name] = total[name] / denom
+    xds.to_zarr(out, OUTPUT_PATH.value)
+    return
+
+  stream_chunks = {time_dim: xds.stream.default_block(ds, time_dim)}
+  probe = reduce(ds.isel({time_dim: slice(0, 1)}))
+  coords = {
+      k: v for k, v in ds.coords_dict().items()
+      if time_dim in v.dims and not (set(v.dims) & set(dims))
+  }
+  template = xds.template_dataset(
+      probe, {time_dim: ds.sizes[time_dim]}, coords=coords
+  )
+  writer = xds.RegionWriter(OUTPUT_PATH.value, template,
+                            stream_chunks=stream_chunks)
+  for window in xds.iter_windows(template.sizes, stream_chunks):
+    writer.write(reduce(ds.isel(window)), window)
+  writer.finish()
 
 
 if __name__ == "__main__":

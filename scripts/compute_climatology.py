@@ -340,16 +340,14 @@ def main(argv) -> None:
       pieces.append(res)
   probe_out = xds.merge(pieces)
 
-  # Template over the full spatial domain
+  # Template over the full spatial domain (shape stubs — no allocation)
   template_vars = {}
   for name, v in probe_out.variables_dict().items():
-    shape = [
-        sizes[d] if d in ("longitude", "latitude") else v.sizes[d]
+    tsizes = {
+        d: sizes[d] if d in ("longitude", "latitude") else v.sizes[d]
         for d in v.dims
-    ]
-    template_vars[name] = xds.Variable(
-        v.dims, np.zeros(shape, dtype=np.float32)
-    )
+    }
+    template_vars[name] = xds.stub_variable(v.dims, tsizes, np.float32)
   coords = {
       k: v
       for k, v in probe_out.coords_dict().items()

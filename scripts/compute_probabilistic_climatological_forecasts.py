@@ -239,7 +239,7 @@ def get_sampled_init_times(
 
 
 def main(argv):
-  ds = xds.open_zarr(INPUT_PATH.value)
+  ds = xds.open_zarr(INPUT_PATH.value, lazy=True)
   if VARIABLES.value is not None:
     ds = ds[list(VARIABLES.value)]
   if LEVELS.value and "level" in ds.sizes:
@@ -272,40 +272,132 @@ def main(argv):
 
   # valid times to read: [ensemble, init, lead]
   source_times = sampled[:, :, None] + lead_times[None, None, :]
-  indexer = xds.DataArray(
-      source_times, dims=(REALIZATION_NAME.value, "time", DELTA)
-  )
-  missing = np.setdiff1d(
-      np.unique(source_times),
-      np.asarray(ds.coords_dict()[TIME_DIM.value].data),
-  )
-  if missing.size:
+  in_times = np.asarray(ds.coords_dict()[TIME_DIM.value].data)
+  positions = np.searchsorted(in_times, source_times)
+  pos_cl = np.clip(positions, 0, len(in_times) - 1)
+  found = in_times[pos_cl] == source_times
+  if not found.all():
+    missing = np.unique(source_times[~found])
     raise ValueError(
         f"{missing.size} sampled times missing from the input, e.g. "
         f"{missing[:4]}"
     )
-  out = ds.sel({TIME_DIM.value: indexer})
-  ens = sampled.shape[0]
-  out = xds.Dataset(
-      dict(out.variables_dict()),
-      coords={
-          **{
-              k: v
-              for k, v in out.coords_dict().items()
-              if TIME_DIM.value not in v.dims
-              and k not in (TIME_DIM.value, REALIZATION_NAME.value, DELTA)
-          },
-          "time": init_times.values,
-          DELTA: lead_times,
-          REALIZATION_NAME.value: np.arange(ens),
-      },
-      attrs=ds.attrs,
-  )
-  if ADD_SOURCE_TIME.value:
-    out["source_time"] = xds.Variable(
-        (REALIZATION_NAME.value, "time", DELTA), source_times
+  positions = pos_cl.astype(np.int64)  # [ensemble, init, lead]
+  ens, n_init, n_lead = positions.shape
+  realization = REALIZATION_NAME.value
+  time_dim = TIME_DIM.value
+
+  # the output is (ensemble * lead)x the input size — stream init-time
+  # blocks, reading each block's scattered source steps via clustered
+  # bounded gathers (replaces the reference's time-keyed CoGroupByKey
+  # scatter, /root/reference/scripts/
+  # compute_probabilistic_climatological_forecasts.py:951-1019)
+  src_vars = ds.variables_dict()
+  coords = {
+      k: v
+      for k, v in ds.coords_dict().items()
+      if time_dim not in v.dims
+      and k not in (time_dim, realization, DELTA)
+  }
+  coords["time"] = xds.Variable(("time",), init_times.values)
+  coords[DELTA] = xds.Variable((DELTA,), lead_times)
+  coords[realization] = xds.Variable((realization,), np.arange(ens))
+
+  template_vars = {}
+  rest_dims = {}
+  static_vars = {}
+  for name, var in src_vars.items():
+    if time_dim not in var.dims:
+      # static vars pass through unchanged (ds.sel(time=...) semantics)
+      static_vars[name] = var
+      template_vars[name] = xds.stub_variable(
+          var.dims, var.sizes, var.dtype, var.attrs
+      )
+      continue
+    rest = tuple(d for d in var.dims if d != time_dim)
+    rest_dims[name] = rest
+    sizes = {realization: ens, "time": n_init, DELTA: n_lead,
+             **{d: var.sizes[d] for d in rest}}
+    template_vars[name] = xds.stub_variable(
+        (realization, "time", DELTA) + rest, sizes, var.dtype, var.attrs
     )
-  xds.to_zarr(out, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
+  if ADD_SOURCE_TIME.value:
+    template_vars["source_time"] = xds.stub_variable(
+        (realization, "time", DELTA),
+        {realization: ens, "time": n_init, DELTA: n_lead},
+        source_times.dtype,
+    )
+  template = xds.Dataset(template_vars, coords=coords, attrs=ds.attrs)
+
+  # pick the init block so one block's gathered output stays ~256 MB
+  per_init = 0
+  for name, rest in rest_dims.items():
+    var = src_vars[name]
+    rest_elems = 1
+    for d in rest:
+      rest_elems *= var.sizes[d]
+    per_init += np.dtype(var.dtype).itemsize * ens * n_lead * rest_elems
+  block = max(1, int(2 ** 28 // max(1, per_init)))
+  if len(in_times) > 1:
+    steps_per_day = max(
+        1, int(np.timedelta64(1, "D") // (in_times[1] - in_times[0]))
+    )
+  else:
+    steps_per_day = 1
+  max_gap = max(16, 8 * steps_per_day)
+
+  writer = xds.RegionWriter(
+      OUTPUT_PATH.value, template, chunks=dict(OUTPUT_CHUNKS.value) or None,
+      stream_chunks={"time": block},
+  )
+  for name, var in static_vars.items():
+    writer.write_array(
+        name, tuple(slice(None) for _ in var.dims), np.asarray(var.data)
+    )
+  for window in xds.iter_windows({"time": n_init}, {"time": block}):
+    sl = window.get("time", slice(0, n_init))
+    pos_block = positions[:, sl, :]  # (E, B, L)
+    clusters = xds.clustered_positions(pos_block.ravel(), max_gap=max_gap)
+    # map global input position -> index into the concatenated reads
+    remap = np.empty(len(in_times), dtype=np.int64)
+    offset = 0
+    for cl in clusters:
+      n_cl = cl.stop - cl.start
+      remap[cl] = np.arange(offset, offset + n_cl)
+      offset += n_cl
+    local = remap[pos_block]
+    for name, rest in rest_dims.items():
+      var = src_vars[name]
+      t_ax = var.dims.index(time_dim)
+      parts = [
+          np.asarray(var.data[tuple(
+              cl if ax == t_ax else slice(None)
+              for ax in range(len(var.dims))
+          )])
+          for cl in clusters
+      ]
+      concat = np.concatenate(parts, axis=t_ax)
+      gathered = np.take(concat, local, axis=t_ax)
+      # np.take put (E, B, L) at the time axis position; normalize to
+      # (E, B, L, rest...) with rest in source order
+      n_pre = t_ax  # axes before the time axis in the source order
+      order = (
+          list(range(n_pre, n_pre + 3))
+          + list(range(0, n_pre))
+          + list(range(n_pre + 3, gathered.ndim))
+      )
+      gathered = np.transpose(gathered, order)
+      writer.write_array(
+          name,
+          (slice(None), sl, slice(None)) + (slice(None),) * len(rest),
+          gathered,
+      )
+    if ADD_SOURCE_TIME.value:
+      writer.write_array(
+          "source_time", (slice(None), sl, slice(None)),
+          source_times[:, sl, :],
+      )
+  writer.finish()
 
 
 if __name__ == "__main__":

@@ -33,7 +33,10 @@ TIME_STOP = flag_utils.DEFINE_string(
 VARIABLES = flag_utils.DEFINE_list(
     "variables", None, help="Variables to include (default: all).")
 WORKING_CHUNKS = flag_utils.DEFINE_chunks(
-    "working_chunks", "", help="(accepted for compatibility; unused)")
+    "working_chunks", "",
+    help="Streaming tile sizes over the non-reduced dims, e.g. "
+         '"latitude=8". Default: adaptive tiles over the first '
+         "non-reduced spatial dim.")
 OUTPUT_CHUNKS = flag_utils.DEFINE_chunks(
     "output_chunks", "", help="Chunking of the output store.")
 NUM_THREADS = flag_utils.DEFINE_integer(
@@ -42,7 +45,7 @@ RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
 
 
 def main(argv):
-  ds = xds.open_zarr(INPUT_PATH.value)
+  ds = xds.open_zarr(INPUT_PATH.value, lazy=True)
   if VARIABLES.value is not None:
     ds = ds[list(VARIABLES.value)]
   sel = {}
@@ -54,12 +57,48 @@ def main(argv):
     ds = ds.sel(sel)
 
   quantiles = [float(q) for q in QUANTILES.value]
-  out = ds.quantile(quantiles, dim=list(DIM.value), skipna=SKIPNA.value)
-  if NAME_SUFFIX.value:
-    out = out.rename(
-        {v: f"{v}{NAME_SUFFIX.value}" for v in out.keys()}
-    )
-  xds.to_zarr(out, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
+  reduce_dims = list(DIM.value)
+
+  def compute(block):
+    out = block.quantile(quantiles, dim=reduce_dims, skipna=SKIPNA.value)
+    if NAME_SUFFIX.value:
+      out = out.rename({v: f"{v}{NAME_SUFFIX.value}" for v in out.keys()})
+    return out
+
+  # the reduced axes must be fully resident per tile (on-device sorts);
+  # stream tiles over the remaining dims — the analogue of the
+  # reference's rechunk-reduce-rechunk pipeline
+  # (/root/reference/scripts/compute_quantiles.py:223-256)
+  kept = [d for d in ds.sizes if d not in reduce_dims]
+  stream_chunks = dict(WORKING_CHUNKS.value)
+  if not stream_chunks:
+    for cand in ("latitude", "longitude", *kept):
+      if cand in kept:
+        stream_chunks = {cand: xds.stream.default_block(ds, cand)}
+        break
+  stream_chunks = {
+      d: c for d, c in stream_chunks.items() if d in kept
+  }
+  if not kept or not stream_chunks:
+    xds.to_zarr(compute(ds), OUTPUT_PATH.value,
+                chunks=dict(OUTPUT_CHUNKS.value))
+    return
+
+  probe = compute(ds.isel({d: slice(0, 1) for d in stream_chunks}))
+  coords = {
+      k: v for k, v in ds.coords_dict().items()
+      if set(v.dims) & set(stream_chunks)
+  }
+  template = xds.template_dataset(
+      probe, {d: ds.sizes[d] for d in stream_chunks}, coords=coords
+  )
+  writer = xds.RegionWriter(
+      OUTPUT_PATH.value, template, chunks=dict(OUTPUT_CHUNKS.value) or None,
+      stream_chunks=stream_chunks,
+  )
+  for window in xds.iter_windows(template.sizes, stream_chunks):
+    writer.write(compute(ds.isel(window)), window)
+  writer.finish()
 
 
 if __name__ == "__main__":

@@ -45,9 +45,34 @@ def moment_reduce(da: xds.DataArray, order: str,
 
 
 def main(argv):
-  obs = xds.open_zarr(INPUT_PATH.value)
+  obs = xds.open_zarr(INPUT_PATH.value, lazy=True)
   if START_YEAR.value is not None and END_YEAR.value is not None:
     obs = obs.sel(time=slice(str(START_YEAR.value), str(END_YEAR.value)))
+
+  # stream time blocks; the spatially-reduced moments accumulate into a
+  # tiny (per-var, per-level) running time-sum — the replacement for the
+  # reference's per-order Beam branches
+  # (/root/reference/scripts/compute_statistical_moments.py:149-186)
+  n = obs.sizes.get("time", 0)
+  block_size = xds.stream.default_block(obs, "time") if n else 0
+  acc: dict = {}
+  for start in range(0, n, block_size):
+    block = obs.isel(time=slice(start, start + block_size))
+    for order in ORDERS:
+      for name in block.keys():
+        spatial = moment_reduce(block[name], order,
+                                ("longitude", "latitude"))
+        summed = moment_reduce(spatial, "first", ("time",))
+        w = spatial.sizes.get("time", 1)
+        key = (name, order)
+        prev = acc.get(key)
+        contrib = (np.asarray(summed.values, dtype=np.float64) * w,
+                   w, summed.dims)
+        if prev is None:
+          acc[key] = list(contrib)
+        else:
+          prev[0] = prev[0] + contrib[0]
+          prev[1] = prev[1] + w
 
   out = xds.Dataset({}, coords={
       k: v for k, v in obs.coords_dict().items()
@@ -55,9 +80,8 @@ def main(argv):
   })
   for order in ORDERS:
     for name in obs.keys():
-      da = obs[name]
-      spatial = moment_reduce(da, order, ("longitude", "latitude"))
-      temporal = moment_reduce(spatial, "first", ("time",))
+      total, count, dims = acc[(name, order)]
+      temporal = xds.DataArray(total / count, dims=dims)
       out[f"{name}_{order}"] = temporal.expand_dims(moment=1)
   xds.to_zarr(out, OUTPUT_PATH.value)
 

@@ -40,24 +40,79 @@ RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
 
 
 def main(argv):
-  ds = xds.open_zarr(INPUT_PATH.value)
+  ds = xds.open_zarr(INPUT_PATH.value, lazy=True)
   ds = ds[[v for v in BASE_VARIABLES.value]]
   sel = {}
-  if TIME_DIM.value in ds.sizes:
-    sel[TIME_DIM.value] = slice(TIME_START.value, TIME_STOP.value)
+  time_dim = TIME_DIM.value
+  if time_dim in ds.sizes:
+    sel[time_dim] = slice(TIME_START.value, TIME_STOP.value)
   if LEVELS.value and "level" in ds.sizes:
     sel["level"] = [int(l) for l in LEVELS.value]
   if sel:
     ds = ds.sel(sel)
 
-  out = xds.Dataset({}, coords={})
-  for name in BASE_VARIABLES.value:
-    spectrum = ZonalEnergySpectrum(name).compute(ds[[name]])
-    avg = [d for d in AVERAGING_DIMS.value if d in spectrum.dims]
-    if avg:
-      spectrum = spectrum.mean(avg)
-    out[name] = spectrum
-  xds.to_zarr(out, OUTPUT_PATH.value)
+  # stream time blocks through the batched rFFT; when the time dim is
+  # averaged (the official workflow) the per-block means accumulate
+  # weighted by block length, replacing the reference's xbeam.Mean
+  # (/root/reference/scripts/compute_zonal_energy_spectrum.py:217-241)
+  n = ds.sizes.get(time_dim, 0)
+  block_size = xds.stream.default_block(ds, time_dim) if n else 0
+
+  def block_spectra(block):
+    pieces = {}
+    for name in BASE_VARIABLES.value:
+      spectrum = ZonalEnergySpectrum(name).compute(block[[name]])
+      avg = [d for d in AVERAGING_DIMS.value if d in spectrum.dims]
+      if avg:
+        spectrum = spectrum.mean(avg)
+      pieces[name] = spectrum
+    return pieces
+
+  if n == 0 or time_dim in AVERAGING_DIMS.value:
+    if n == 0:
+      pieces = block_spectra(ds)
+      out = xds.Dataset({}, coords={})
+      for name, spectrum in pieces.items():
+        out[name] = spectrum
+      xds.to_zarr(out, OUTPUT_PATH.value)
+      return
+    acc: dict = {}
+    weight = 0
+    for start in range(0, n, block_size):
+      block = ds.isel({time_dim: slice(start, start + block_size)})
+      w = block.sizes[time_dim]
+      for name, spectrum in block_spectra(block).items():
+        prev = acc.get(name)
+        if prev is None:
+          acc[name] = spectrum * float(w)
+        else:
+          acc[name] = prev + spectrum * float(w)
+      weight += w
+    out = xds.Dataset({}, coords={})
+    for name, total in acc.items():
+      out[name] = total / float(weight)
+    xds.to_zarr(out, OUTPUT_PATH.value)
+    return
+
+  # time kept in the output: stream blocks into a zarr template
+  probe_pieces = block_spectra(ds.isel({time_dim: slice(0, 1)}))
+  probe = xds.Dataset({}, coords={})
+  for name, spectrum in probe_pieces.items():
+    probe[name] = spectrum
+  coords = {
+      k: v for k, v in ds.coords_dict().items() if time_dim in v.dims
+  }
+  template = xds.template_dataset(probe, {time_dim: n}, coords=coords)
+  writer = xds.RegionWriter(OUTPUT_PATH.value, template,
+                            stream_chunks={time_dim: block_size})
+  for window in xds.iter_windows(template.sizes,
+                                 {time_dim: block_size}):
+    block = ds.isel(window)
+    piece = xds.Dataset({}, coords={})
+    for name, spectrum in block_spectra(block).items():
+      piece[name] = spectrum
+    writer.write(piece, window)
+  writer.finish()
 
 
 if __name__ == "__main__":

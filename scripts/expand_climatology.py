@@ -27,6 +27,25 @@ NUM_THREADS = flag_utils.DEFINE_integer(
 RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
 
 
+def _expand_block(climatology, times: np.ndarray) -> xds.Dataset:
+  """Gather the climatology at each time's (dayofyear[, hour])."""
+  times_da = xds.DataArray(times, dims=("time",), coords={"time": times})
+  sel = dict(dayofyear=times_da.dt.dayofyear)
+  if "hour" in climatology.coords_dict():
+    sel["hour"] = times_da.dt.hour
+  expanded = climatology.sel(sel)
+  # dayofyear/hour become non-index coords over time; drop them
+  return xds.Dataset(
+      dict(expanded.variables_dict()),
+      coords={
+          k: v
+          for k, v in expanded.coords_dict().items()
+          if k not in ("dayofyear", "hour")
+      },
+      attrs=expanded.attrs,
+  )
+
+
 def main(argv):
   climatology = xds.open_zarr(INPUT_PATH.value)
 
@@ -39,28 +58,29 @@ def main(argv):
   times = pd.date_range(
       TIME_START.value, TIME_STOP.value,
       freq=hour_delta * pd.Timedelta("1h"),
+  ).values
+
+  # the climatology itself is small (366[x hours] steps); the OUTPUT is a
+  # full time-indexed dataset, so it streams out block-wise — the
+  # Create->FlatMap->Zarr pipeline of the reference
+  # (/root/reference/scripts/expand_climatology.py:148-162)
+  probe = _expand_block(climatology, times[:1])
+  template = xds.template_dataset(
+      probe, {"time": len(times)},
+      coords={"time": xds.Variable(("time",), times)},
   )
-  times_da = xds.DataArray(
-      times.values, dims=("time",), coords={"time": times.values}
+  block = TIME_CHUNK_SIZE.value or xds.stream.default_block(
+      template, "time"
   )
-  sel = dict(dayofyear=times_da.dt.dayofyear)
-  if "hour" in climatology.coords_dict():
-    sel["hour"] = times_da.dt.hour
-  expanded = climatology.sel(sel)
-  # dayofyear/hour become non-index coords over time; drop them
-  expanded = xds.Dataset(
-      dict(expanded.variables_dict()),
-      coords={
-          k: v
-          for k, v in expanded.coords_dict().items()
-          if k not in ("dayofyear", "hour")
-      },
-      attrs=expanded.attrs,
-  )
-  chunks = (
+  out_chunks = (
       {"time": TIME_CHUNK_SIZE.value} if TIME_CHUNK_SIZE.value else None
   )
-  xds.to_zarr(expanded, OUTPUT_PATH.value, chunks=chunks)
+  writer = xds.RegionWriter(OUTPUT_PATH.value, template, chunks=out_chunks,
+                            stream_chunks={"time": block})
+  for window in xds.iter_windows({"time": len(times)}, {"time": block}):
+    sl = window.get("time", slice(0, len(times)))
+    writer.write(_expand_block(climatology, times[sl]), window)
+  writer.finish()
 
 
 if __name__ == "__main__":

@@ -3,9 +3,11 @@ r"""CLI to realign forecasts from (init, lead) to (valid_time, lead).
 Flag-compatible with the reference scripts/index_on_valid_time.py:
 ``--desired_time_dims=valid_and_delta`` produces dims (time, lead) keeping
 every ``forecast_spacing``-th lead; ``valid_and_init`` keeps (time, init).
-Missing (valid, lead) corners are NaN.  Implemented as one host-side index
-shuffle (precomputed gather with NaN padding) instead of a keyed Beam
-scatter.
+Missing (valid, lead) corners read as NaN straight from the template's
+fill value — the streaming analogue of the reference's padding chunks
+(/root/reference/scripts/index_on_valid_time.py:210-256).  Gather maps
+are precomputed host-side (vectorized searchsorted) and valid-time
+blocks stream from the lazy input into zarr region writes.
 """
 from absl import app
 from absl import flags
@@ -58,84 +60,120 @@ def get_forecast_offset_and_spacing(init_times, lead_times):
   return int(forecast_offset), int(forecast_spacing)
 
 
-def index_on_valid_time(source: xds.Dataset) -> xds.Dataset:
-  """Realign a (time=init, prediction_timedelta) dataset to valid time."""
+def _positions_in(haystack: np.ndarray, needed: np.ndarray) -> np.ndarray:
+  """Positions of ``needed`` values in sorted ``haystack``; -1 if absent."""
+  idx = np.searchsorted(haystack, needed)
+  idx_cl = np.clip(idx, 0, len(haystack) - 1)
+  ok = haystack[idx_cl] == needed
+  return np.where(ok, idx_cl, -1).astype(np.int64)
+
+
+def build_gather_maps(init_times, lead_times, desired: str):
+  """(valid_index, other_dim, other_coord, gather_init, gather_other).
+
+  ``gather_init[v, o]`` / ``gather_other[v, o]`` address the source
+  (time=init, prediction_timedelta) entry landing at output
+  (valid_index[v], other[o]); -1 marks a missing corner (NaN output).
+  """
+  n_init, n_lead = len(init_times), len(lead_times)
+  valid_index = np.unique(
+      (init_times[:, None] + lead_times[None, :]).ravel()
+  )
+  if desired == VALID_AND_DELTA:
+    needed = valid_index[:, None] - lead_times[None, :]
+    gather_init = _positions_in(init_times, needed)
+    gather_other = np.broadcast_to(
+        np.arange(n_lead, dtype=np.int64)[None, :], gather_init.shape
+    )
+    gather_other = np.where(gather_init >= 0, gather_other, -1)
+    return valid_index, DELTA, lead_times, gather_init, gather_other
+  elif desired == VALID_AND_INIT:
+    needed = valid_index[:, None] - init_times[None, :]
+    gather_other = _positions_in(lead_times, needed)
+    gather_init = np.broadcast_to(
+        np.arange(n_init, dtype=np.int64)[None, :], gather_other.shape
+    )
+    gather_init = np.where(gather_other >= 0, gather_init, -1)
+    return valid_index, INIT, init_times, gather_init, gather_other
+  raise ValueError(f"unknown desired_time_dims {desired!r}")
+
+
+def main(argv):
+  source = xds.open_zarr(INPUT_PATH.value, lazy=True)
   init_times = np.asarray(source.coords_dict()[TIME].data)
   lead_times = np.asarray(source.coords_dict()[DELTA].data)
   forecast_offset, forecast_spacing = get_forecast_offset_and_spacing(
       init_times, lead_times
   )
   if DESIRED_TIME_DIMS.value == VALID_AND_DELTA:
-    keep_leads = np.arange(forecast_offset, len(lead_times),
-                           forecast_spacing)
-    source = source.isel({DELTA: keep_leads})
-    lead_times = lead_times[keep_leads]
-
-  n_init, n_lead = len(init_times), len(lead_times)
-  valid_all = (init_times[:, None] + lead_times[None, :]).ravel()
-  valid_index = np.unique(valid_all)
-
-  if DESIRED_TIME_DIMS.value == VALID_AND_DELTA:
-    # out[valid, lead] = in[init_idx(valid - lead), lead]
-    other_dim, n_other = DELTA, n_lead
-    other_coord = lead_times
-    init_pos = {v: i for i, v in enumerate(init_times.tolist())}
-    gather_init = np.full((len(valid_index), n_lead), -1, dtype=np.int64)
-    gather_other = np.broadcast_to(
-        np.arange(n_lead)[None, :], gather_init.shape
+    # strided slice (not an index array) so lazy payloads stay lazy
+    source = source.isel(
+        {DELTA: slice(forecast_offset, None, forecast_spacing)}
     )
-    for j, lead in enumerate(lead_times):
-      needed = valid_index - lead
-      for i, t in enumerate(needed.tolist()):
-        gather_init[i, j] = init_pos.get(t, -1)
-  else:
-    # out[valid, init] = in[init, lead_idx(valid - init)]
-    other_dim, n_other = INIT, n_init
-    other_coord = init_times
-    lead_pos = {v: i for i, v in enumerate(lead_times.tolist())}
-    gather_init = np.broadcast_to(
-        np.arange(n_init)[None, :], (len(valid_index), n_init)
-    ).copy()
-    gather_other = np.full((len(valid_index), n_init), -1, dtype=np.int64)
-    for j, init in enumerate(init_times):
-      needed = valid_index - init
-      for i, t in enumerate(needed.tolist()):
-        gather_other[i, j] = lead_pos.get(t, -1)
-    gather_init = np.where(gather_other >= 0, gather_init, -1)
+    lead_times = lead_times[forecast_offset::forecast_spacing]
+
+  valid_index, other_dim, other_coord, gather_init, gather_other = (
+      build_gather_maps(init_times, lead_times, DESIRED_TIME_DIMS.value)
+  )
+  n_valid, n_other = gather_init.shape
 
   coords = {
       k: v
       for k, v in source.coords_dict().items()
       if TIME not in v.dims and DELTA not in v.dims
   }
-  coords[TIME] = valid_index
-  coords[other_dim] = other_coord
-  out = xds.Dataset({}, coords=coords)
-  valid_mask = (gather_init >= 0) & (gather_other >= 0)
-  safe_init = np.where(valid_mask, gather_init, 0)
-  safe_other = np.where(valid_mask, np.where(gather_other >= 0,
-                                             gather_other, 0), 0)
-  for name in source.keys():
-    da = source[name]
-    order = [TIME, DELTA] + [d for d in da.dims if d not in (TIME, DELTA)]
-    arranged = da.transpose(*order)
-    vals = np.asarray(arranged.values, dtype=np.float32)
-    picked = vals[safe_init, safe_other]
-    picked = np.where(
-        valid_mask.reshape(valid_mask.shape + (1,) * (picked.ndim - 2)),
-        picked,
-        np.nan,
-    )
-    out[name] = xds.Variable(
-        (TIME, other_dim) + tuple(order[2:]), picked
-    )
-  return out
+  coords[TIME] = xds.Variable((TIME,), valid_index)
+  coords[other_dim] = xds.Variable((other_dim,), other_coord)
 
+  src_vars = source.variables_dict()
+  template_vars = {}
+  rest_dims = {}
+  for name, var in src_vars.items():
+    rest = tuple(d for d in var.dims if d not in (TIME, DELTA))
+    rest_dims[name] = rest
+    sizes = {TIME: n_valid, other_dim: n_other,
+             **{d: var.sizes[d] for d in rest}}
+    template_vars[name] = xds.stub_variable(
+        (TIME, other_dim) + rest, sizes, np.float32, var.attrs
+    )
+  template = xds.Dataset(template_vars, coords=coords, attrs=source.attrs)
 
-def main(argv):
-  source = xds.open_zarr(INPUT_PATH.value)
-  out = index_on_valid_time(source)
-  xds.to_zarr(out, OUTPUT_PATH.value)
+  block = xds.stream.default_block(source, TIME)
+  writer = xds.RegionWriter(OUTPUT_PATH.value, template,
+                            stream_chunks={TIME: block})
+  for window in xds.iter_windows({TIME: n_valid}, {TIME: block}):
+    sl = window.get(TIME, slice(0, n_valid))
+    bi = gather_init[sl]
+    bo = gather_other[sl]
+    mask = bi >= 0
+    if not mask.any():
+      continue  # template fill value (NaN) already covers this block
+    in0 = int(bi[mask].min())
+    in1 = int(bi[mask].max()) + 1
+    for name, var in src_vars.items():
+      key = tuple(
+          slice(in0, in1) if d == TIME else slice(None) for d in var.dims
+      )
+      vals = np.asarray(var.data[key], dtype=np.float32)
+      # normalize axis order to (TIME, DELTA, rest...)
+      order = [var.dims.index(TIME), var.dims.index(DELTA)] + [
+          i for i, d in enumerate(var.dims) if d not in (TIME, DELTA)
+      ]
+      vals = np.transpose(vals, order)
+      safe_i = np.where(mask, bi - in0, 0)
+      safe_o = np.where(mask, np.where(bo >= 0, bo, 0), 0)
+      picked = vals[safe_i, safe_o]
+      picked = np.where(
+          mask.reshape(mask.shape + (1,) * (picked.ndim - 2)),
+          picked,
+          np.nan,
+      )
+      writer.write_array(
+          name,
+          (sl, slice(None)) + (slice(None),) * len(rest_dims[name]),
+          picked,
+      )
+  writer.finish()
 
 
 if __name__ == "__main__":

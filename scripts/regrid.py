@@ -82,18 +82,35 @@ def main(argv):
   regridder = regridder_cls(source_grid, target_grid)
 
   time_dim = "time" if "time" in source_ds.sizes else None
-  chunk = TIME_CHUNK_SIZE.value
-  if time_dim and chunk:
-    pieces = []
-    n = source_ds.sizes[time_dim]
-    for start in range(0, n, chunk):
-      tile = source_ds.isel({time_dim: slice(start, start + chunk)})
-      pieces.append(regridder.regrid_dataset(tile))
-    out = xds.concat(pieces, time_dim)
-  else:
+  if time_dim is None:
     out = regridder.regrid_dataset(source_ds)
+    xds.to_zarr(out, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
+    return
 
-  xds.to_zarr(out, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
+  # stream time blocks through the device regrid into zarr region writes
+  # (each block's output lands directly in the store; nothing concatenates
+  # in host RAM)
+  n = source_ds.sizes[time_dim]
+  chunk = TIME_CHUNK_SIZE.value or xds.stream.default_block(
+      source_ds, time_dim
+  )
+  probe = regridder.regrid_dataset(
+      source_ds.isel({time_dim: slice(0, 1)})
+  )
+  full_coords = {
+      k: v for k, v in source_ds.coords_dict().items()
+      if time_dim in v.dims
+      and not ({"latitude", "longitude"} & set(v.dims))
+  }
+  template = xds.template_dataset(probe, {time_dim: n}, coords=full_coords)
+  writer = xds.RegionWriter(
+      OUTPUT_PATH.value, template, chunks=dict(OUTPUT_CHUNKS.value) or None,
+      stream_chunks={time_dim: chunk},
+  )
+  for window in xds.iter_windows({time_dim: n}, {time_dim: chunk}):
+    tile = source_ds.isel(window)
+    writer.write(regridder.regrid_dataset(tile), window)
+  writer.finish()
 
 
 if __name__ == "__main__":

@@ -2,9 +2,16 @@ r"""CLI to slice a Zarr dataset (sel/isel/drop_sel/drop_isel/variables).
 
 Flag grammar parity with the reference scripts/slice_dataset.py:
 ``--sel=DIM_start=...,DIM_stop=...,DIM_step=...,DIM_list=a+b+c``.
+
+All selection logic runs on a coords-only skeleton (per-dim position
+arrays), then the chosen positions stream window-by-window from the lazy
+input into a zarr template — copying a slice of a TB-scale store reads
+only the selected bytes, unlike the reference's full Beam pipeline
+(/root/reference/scripts/slice_dataset.py).
 """
 import re
 
+import numpy as np
 from absl import app
 from absl import flags
 
@@ -73,34 +80,87 @@ def parse_selection_grammar(pairs: dict, force_string: bool = False) -> dict:
 
 
 def main(argv):
-  ds = xds.open_zarr(INPUT_PATH.value)
+  ds = xds.open_zarr(INPUT_PATH.value, lazy=True)
+
+  # run every selection on a coords-only skeleton carrying per-dim
+  # position arrays; the data variables are never touched here
+  skel = xds.Dataset(
+      {f"__pos_{d}": xds.Variable((d,), np.arange(n, dtype=np.int64))
+       for d, n in ds.sizes.items()},
+      coords=dict(ds.coords_dict()),
+  )
 
   sel = parse_selection_grammar(SEL.value)
   sel.update(parse_selection_grammar(SEL_STRINGS.value, force_string=True))
   if sel:
-    ds = ds.sel(sel)
+    skel = skel.sel(sel)
 
   isel = parse_selection_grammar(ISEL.value)
   if isel:
-    ds = ds.isel(isel)
+    skel = skel.isel(isel)
 
   drop_sel = parse_selection_grammar(DROP_SEL.value)
   drop_sel.update(
       parse_selection_grammar(DROP_SEL_STRINGS.value, force_string=True)
   )
   if drop_sel:
-    ds = ds.drop_sel(drop_sel)
+    skel = skel.drop_sel(drop_sel)
 
   drop_isel = parse_selection_grammar(DROP_ISEL.value)
   if drop_isel:
-    ds = ds.drop_isel(drop_isel)
+    skel = skel.drop_isel(drop_isel)
 
+  pos = {
+      d: np.asarray(skel[f"__pos_{d}"].values, dtype=np.int64)
+      for d in ds.sizes
+  }
+
+  names = list(ds.keys())
   if KEEP_VARIABLES.value is not None:
-    ds = ds[list(KEEP_VARIABLES.value)]
+    names = [n for n in names if n in set(KEEP_VARIABLES.value)]
   if DROP_VARIABLES.value:
-    ds = ds.drop_vars(list(DROP_VARIABLES.value), errors="ignore")
+    names = [n for n in names if n not in set(DROP_VARIABLES.value)]
 
-  xds.to_zarr(ds, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
+  out_sizes = {d: len(p) for d, p in pos.items()}
+  src_vars = ds.variables_dict()
+  template = xds.Dataset(
+      {
+          n: xds.stub_variable(
+              src_vars[n].dims, out_sizes, src_vars[n].dtype,
+              src_vars[n].attrs,
+          )
+          for n in names
+      },
+      coords={
+          k: v for k, v in skel.coords_dict().items()
+      },
+      attrs=ds.attrs,
+  )
+
+  # stream over the largest output dim
+  stream_chunks = {}
+  if out_sizes:
+    big = max(out_sizes, key=lambda d: out_sizes[d])
+    tmp = xds.Dataset(
+        {n: template.variables_dict()[n] for n in names}, coords={}
+    )
+    stream_chunks[big] = xds.stream.default_block(tmp, big)
+
+  writer = xds.RegionWriter(
+      OUTPUT_PATH.value, template, chunks=dict(OUTPUT_CHUNKS.value) or None,
+      stream_chunks=stream_chunks,
+  )
+  for window in xds.iter_windows(out_sizes, stream_chunks):
+    for n in names:
+      var = src_vars[n]
+      keys = [
+          pos[d][window.get(d, slice(None))] for d in var.dims
+      ]
+      data = xds.orthogonal_select(var.data, keys)
+      writer.write_array(
+          n, tuple(window.get(d, slice(None)) for d in var.dims), data
+      )
+  writer.finish()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,157 @@
+"""Peak-RSS bound for the streaming transform CLIs.
+
+Builds an input zarr substantially larger than the allowed working-set
+bound and runs CLIs on it in a subprocess, asserting the child's peak
+RSS stays bounded by the chunk budget — the property the reference gets
+from Beam streaming (/root/reference/scripts/resample_in_time.py:312-451)
+and the in-memory CLIs of round 1 did not have.
+"""
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from weatherbench2_tpu import xds
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+# input: ~520 MB of float32 (time=2000, lat=181, lon=360)
+N_TIME, N_LAT, N_LON = 2000, 181, 360
+INPUT_BYTES = N_TIME * N_LAT * N_LON * 4
+
+
+def _write_big_input(path: str) -> None:
+  times = (np.datetime64("2019-01-01", "ns")
+           + np.arange(N_TIME) * np.timedelta64(6, "h"))
+  template = xds.Dataset(
+      {"temperature": xds.stub_variable(
+          ("time", "latitude", "longitude"),
+          {"time": N_TIME, "latitude": N_LAT, "longitude": N_LON},
+          np.float32)},
+      coords={
+          "time": xds.Variable(("time",), times),
+          "latitude": np.linspace(-90, 90, N_LAT),
+          "longitude": np.arange(0, 360, 360 / N_LON),
+      },
+  )
+  writer = xds.RegionWriter(path, template, chunks={"time": 100})
+  lat = np.linspace(-1, 1, N_LAT, dtype=np.float32)[None, :, None]
+  lon = np.linspace(0, 2, N_LON, dtype=np.float32)[None, None, :]
+  for start in range(0, N_TIME, 100):
+    n = min(100, N_TIME - start)
+    t = np.arange(start, start + n, dtype=np.float32)[:, None, None]
+    block = np.sin(t / 17.0) + lat * lon  # patterned: fast + compressible
+    writer.write_array(
+        "temperature",
+        (slice(start, start + n), slice(None), slice(None)),
+        np.broadcast_to(block, (n, N_LAT, N_LON)).astype(np.float32),
+    )
+  writer.finish()
+
+
+_RUNNER = textwrap.dedent("""
+    import resource, runpy, sys
+    sys.argv = [sys.argv[1]] + sys.argv[2:]
+    code = 0
+    try:
+      runpy.run_path(sys.argv[0], run_name="__main__")
+    except SystemExit as e:  # absl app.run always exits
+      code = e.code or 0
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print("PEAK_RSS_KB", peak_kb, file=sys.stderr)
+    sys.exit(code)
+""")
+
+
+def _run_cli(script: str, args: list, tmp_path) -> int:
+  """Run a CLI in a subprocess; return its peak RSS in bytes."""
+  env = dict(os.environ)
+  env["PYTHONPATH"] = REPO
+  env["JAX_PLATFORMS"] = "cpu"
+  runner = str(tmp_path / "_runner.py")
+  with open(runner, "w") as f:
+    f.write(_RUNNER)
+  proc = subprocess.run(
+      [sys.executable, runner, os.path.join(REPO, "scripts", script)]
+      + args,
+      capture_output=True, text=True, env=env, timeout=420,
+  )
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  for line in proc.stderr.splitlines():
+    if line.startswith("PEAK_RSS_KB"):
+      return int(line.split()[1]) * 1024
+  raise AssertionError("peak RSS line not found:\n" + proc.stderr[-2000:])
+
+
+@pytest.fixture(scope="module")
+def big_input(tmp_path_factory):
+  path = str(tmp_path_factory.mktemp("scale") / "big.zarr")
+  _write_big_input(path)
+  return path
+
+
+def _baseline_rss(tmp_path) -> int:
+  """RSS of just importing the CLI stack (numpy/pandas/tensorstore)."""
+  env = dict(os.environ)
+  env["PYTHONPATH"] = REPO
+  env["JAX_PLATFORMS"] = "cpu"
+  proc = subprocess.run(
+      [sys.executable, "-c", textwrap.dedent("""
+          import resource, sys
+          from weatherbench2_tpu import utils, xds, flag_utils  # noqa
+          import pandas  # noqa
+          print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+      """)],
+      capture_output=True, text=True, env=env, timeout=120,
+  )
+  assert proc.returncode == 0, proc.stderr[-2000:]
+  return int(proc.stdout.strip()) * 1024
+
+
+def test_resample_in_time_bounded_rss(big_input, tmp_path):
+  out = str(tmp_path / "daily.zarr")
+  peak = _run_cli(
+      "resample_in_time.py",
+      [f"--input_path={big_input}", f"--output_path={out}",
+       "--period=1d", "--mean_vars=ALL", "--working_chunks=time=64"],
+      tmp_path,
+  )
+  base = _baseline_rss(tmp_path)
+  # the whole input is ~520 MB; a streaming run must stay well under
+  # baseline + input (64 output days ~ 256 steps ~ 67 MB per block)
+  budget = base + INPUT_BYTES // 2
+  assert peak < budget, (
+      f"peak RSS {peak/2**20:.0f} MiB exceeds streaming budget "
+      f"{budget/2**20:.0f} MiB (baseline {base/2**20:.0f} MiB)"
+  )
+  res = xds.open_zarr(out)
+  assert res.sizes["time"] == N_TIME // 4
+  # spot-check one daily mean against the generator pattern
+  got = np.asarray(res["temperature"].values[3, :, :])
+  t = np.arange(12, 16, dtype=np.float32)[:, None, None]
+  lat = np.linspace(-1, 1, N_LAT, dtype=np.float32)[None, :, None]
+  lon = np.linspace(0, 2, N_LON, dtype=np.float32)[None, None, :]
+  want = (np.sin(t / 17.0) + lat * lon).mean(axis=0)
+  np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slice_dataset_bounded_rss(big_input, tmp_path):
+  out = str(tmp_path / "sliced.zarr")
+  peak = _run_cli(
+      "slice_dataset.py",
+      [f"--input_path={big_input}", f"--output_path={out}",
+       "--sel=latitude_start=-30,latitude_stop=30"],
+      tmp_path,
+  )
+  base = _baseline_rss(tmp_path)
+  assert peak < base + INPUT_BYTES // 2, (
+      f"peak RSS {peak/2**20:.0f} MiB not bounded "
+      f"(baseline {base/2**20:.0f} MiB)"
+  )
+  res = xds.open_zarr(out)
+  lats = np.asarray(res.coords_dict()["latitude"].data)
+  assert lats.min() >= -30 and lats.max() <= 30
+  assert res.sizes["time"] == N_TIME

@@ -80,18 +80,56 @@ class _DimValuePairParser(flags.ArgumentParser):
     return "dict[str, int | float | str]"
 
 
+class _SharedFlagHolder:
+  """A per-module view of a flag shared across CLI script modules.
+
+  Different scripts define the same flag name with different defaults
+  (e.g. ``method``: "explicit" in compute_climatology, "resample" in
+  resample_in_time).  When several scripts are imported into one process
+  (the test suite), each module's holder must fall back to ITS OWN
+  default while the flag is unset; an explicit setting (command line or
+  flagsaver) wins for everyone.
+  """
+
+  def __init__(self, flag_values, name, default, parser=None):
+    self._fv = flag_values
+    self.name = name
+    self._default = default
+    self._parser = parser
+
+  @property
+  def value(self):
+    flag = self._fv[self.name]
+    if flag.using_default_value:
+      if self._parser is not None and isinstance(self._default, str):
+        return self._parser.parse(self._default)
+      return self._default
+    return flag.value
+
+  @property
+  def default(self):
+    return self._default
+
+  def present(self) -> bool:
+    return bool(self._fv[self.name].present)
+
+
 def _reuse_tolerant(define_fn):
   """Wrap an absl DEFINE so repeated definitions reuse the existing flag.
 
   CLI scripts legitimately share flag names (input_path, runner, ...); a
   single process importing several scripts (e.g. the test suite) must not
-  crash with DuplicateFlagError.  The first definition wins.
+  crash with DuplicateFlagError.  The first definition registers the
+  flag; later definitions get a _SharedFlagHolder carrying their own
+  default.
   """
 
   def define(name, *args, **kwargs):
     fv = kwargs.get("flag_values", flags.FLAGS)
     if name in fv:
-      return flags.FlagHolder(fv, fv[name])
+      default = args[0] if args else kwargs.get("default")
+      parser = getattr(fv[name], "parser", None)
+      return _SharedFlagHolder(fv, name, default, parser)
     return define_fn(name, *args, **kwargs)
 
   return define

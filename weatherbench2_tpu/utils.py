@@ -509,6 +509,68 @@ def normalize_timedelta_str(s):
   )
 
 
+def resample_time_plan(times, period, label: str = "left",
+                       origin: str = "start_day"):
+  """Host-side binning plan for resampling a sorted time axis.
+
+  Returns ``(label_times, starts, ends)``: output bin labels plus, per
+  bin, the half-open input position range [starts[i], ends[i]) feeding
+  it.  Shared by the eager reduction and the streaming CLI so both take
+  identical bin boundaries (reference alignment semantics:
+  /root/reference/scripts/resample_in_time.py:270-309).
+  """
+  import pandas as pd
+
+  period = pd.to_timedelta(normalize_timedelta_str(period))
+  times = pd.DatetimeIndex(np.asarray(times))
+  if origin == "start_day":
+    origin_ts = times[0].floor("D")
+  else:
+    origin_ts = times[0]
+  period64 = np.timedelta64(period)
+  offs = times.values - np.datetime64(origin_ts)
+  if label == "left":
+    bins = offs // period64
+  elif label == "right":
+    bins = -((-offs) // period64)  # ceil: (T-period, T] -> bin index
+  else:
+    raise ValueError(f"Unhandled {label=}")
+  # times sorted ascending => bins nondecreasing => contiguous ranges
+  labels_idx, starts = np.unique(bins, return_index=True)
+  ends = np.append(starts[1:], len(times))
+  label_times = np.datetime64(origin_ts) + labels_idx * period64
+  if label == "right":
+    # first (incomplete-from-the-left) bin is dropped
+    label_times, starts, ends = label_times[1:], starts[1:], ends[1:]
+  return label_times, starts.astype(np.int64), ends.astype(np.int64)
+
+
+def reduce_time_bins(ds: xds.Dataset, starts, ends, label_times,
+                     statistic: str, skipna: bool = False,
+                     time_dim: str = "time") -> xds.Dataset:
+  """Reduce each [starts[i], ends[i]) time range of ``ds`` to one step."""
+  plain_fn, nan_fn = _STAT_FNS[statistic]
+  fn = nan_fn if skipna else plain_fn
+  # accumulate in float64 without copying the whole block to float64 —
+  # mean/sum take a dtype argument, min/max are exact in any dtype
+  kw = {"dtype": np.float64} if statistic in ("mean", "sum") else {}
+  out = xds.Dataset({}, coords={
+      k: v for k, v in ds.coords_dict().items() if time_dim not in v.dims
+  })
+  for name in ds.keys():
+    da = ds[name]
+    if time_dim not in da.dims:
+      out[name] = da
+      continue
+    ax = da.dims.index(time_dim)
+    vals = np.moveaxis(np.asarray(da.values), ax, 0)
+    red = np.stack([
+        fn(vals[s:e], axis=0, **kw) for s, e in zip(starts, ends)
+    ]).astype(np.float64)
+    out[name] = xds.DataArray(np.moveaxis(red, 0, ax), dims=da.dims)
+  return out.assign_coords({time_dim: np.asarray(label_times)})
+
+
 def resample_in_time(
     ds: xds.Dataset,
     period,
@@ -524,51 +586,12 @@ def resample_in_time(
   label='right': bins (T-period, T] labelled T, first (incomplete from the
   left) bin dropped — matching the reference resample_in_time semantics.
   """
-  import pandas as pd
-
-  period = pd.to_timedelta(normalize_timedelta_str(period))
-  times = pd.DatetimeIndex(np.asarray(ds.coords_dict()[time_dim].data))
-  if origin == "start_day":
-    origin_ts = times[0].floor("D")
-  else:
-    origin_ts = times[0]
-  period64 = np.timedelta64(period)
-  offs = (times.values - np.datetime64(origin_ts))
-  if label == "left":
-    bins = offs // period64
-    labels_idx = np.unique(bins)
-    label_times = np.datetime64(origin_ts) + labels_idx * period64
-  elif label == "right":
-    bins = -((-offs) // period64)  # ceil: (T-period, T] -> bin index
-    labels_idx = np.unique(bins)
-    label_times = np.datetime64(origin_ts) + labels_idx * period64
-  else:
-    raise ValueError(f"Unhandled {label=}")
-  pos = {b: i for i, b in enumerate(labels_idx.tolist())}
-  inverse = np.array([pos[b] for b in bins.tolist()])
-
-  plain_fn, nan_fn = _STAT_FNS[statistic]
-  fn = nan_fn if skipna else plain_fn
-
-  out = xds.Dataset({}, coords={
-      k: v for k, v in ds.coords_dict().items() if time_dim not in v.dims
-  })
-  for name in ds.keys():
-    da = ds[name]
-    if time_dim not in da.dims:
-      out[name] = da
-      continue
-    ax = da.dims.index(time_dim)
-    vals = np.moveaxis(np.asarray(da.values, dtype=np.float64), ax, 0)
-    red = np.stack([
-        fn(vals[inverse == i], axis=0) for i in range(len(labels_idx))
-    ])
-    red = np.moveaxis(red, 0, ax)
-    out[name] = xds.DataArray(red, dims=da.dims)
-  out = out.assign_coords({time_dim: label_times})
-  if label == "right":
-    out = out.isel({time_dim: slice(1, None)})
-  return out
+  label_times, starts, ends = resample_time_plan(
+      ds.coords_dict()[time_dim].data, period, label, origin
+  )
+  return reduce_time_bins(
+      ds, starts, ends, label_times, statistic, skipna, time_dim
+  )
 
 
 def rolling_in_time(

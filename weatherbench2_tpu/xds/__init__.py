@@ -29,11 +29,13 @@ from .io_zarr import (
     to_zarr,
     write_zarr_region,
 )
+from . import stream
 from .stream import (
     RegionWriter,
     ShapeStub,
     clustered_positions,
     iter_windows,
+    orthogonal_select,
     streaming_transform,
     stub_variable,
     template_dataset,

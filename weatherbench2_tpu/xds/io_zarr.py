@@ -345,9 +345,19 @@ def create_zarr_template(
     consolidated[f"{name}/.zarray"] = metadata
     consolidated[f"{name}/.zattrs"] = zattrs
 
-  # data vars: create metadata only; NaN fill for floats
+  # data vars: create metadata only; NaN fill for floats; datetime and
+  # timedelta payloads store CF-encoded as int64 (RegionWriter encodes
+  # at write time; open_zarr decodes via the units attr)
   for name, var in ds.variables_dict().items():
     values_dtype = np.dtype(var.dtype)
+    cf_attrs = {}
+    if np.issubdtype(values_dtype, np.datetime64):
+      values_dtype = np.dtype(np.int64)
+      cf_attrs = {"units": "nanoseconds since 1970-01-01",
+                  "calendar": "proleptic_gregorian"}
+    elif np.issubdtype(values_dtype, np.timedelta64):
+      values_dtype = np.dtype(np.int64)
+      cf_attrs = {"units": "nanoseconds"}
     shape = [var.sizes[d] for d in var.dims]
     chunk_shape = _var_chunks(shape, chunks, var.dims)
     is_float = values_dtype.kind == "f"
@@ -365,7 +375,7 @@ def create_zarr_template(
     ts.open(
         _array_spec(path, name, metadata, create=True, delete_existing=True)
     ).result()
-    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **var.attrs}
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
     if nondim_coords:
       zattrs.setdefault("coordinates", " ".join(nondim_coords))
     _write_json_key(path, f"{name}/.zattrs", zattrs)
@@ -428,6 +438,18 @@ class LazyArray(core.LazyArrayBase):
         isinstance(k, (int, np.integer, slice)) for k in key
     )
     if basic:
+      # numpy semantics: clamp slices to the axis extent (tensorstore
+      # views would otherwise keep out-of-range bounds)
+      clamped = []
+      for axis, k in enumerate(key):
+        if isinstance(k, slice):
+          start, stop, step = k.indices(self.shape[axis])
+          if step < 0 and stop < 0:
+            stop = None
+          clamped.append(slice(start, stop, step))
+        else:
+          clamped.append(k)
+      key = tuple(clamped)
       try:
         ts = _ts()
         view = self._ts[key]

@@ -128,6 +128,14 @@ NUM_THREADS = flag_utils.DEFINE_integer(
     "num_threads", None, help="IO threads (currently fixed).")
 SHUFFLE_BEFORE_TEMPORAL_MEAN = flag_utils.DEFINE_bool(
     "shuffle_before_temporal_mean", False, help="(ignored)")
+CHECKPOINT_PATH = flag_utils.DEFINE_string(
+    "checkpoint_path", None,
+    help="Base path for streaming accumulator checkpoints "
+         "(one file per eval config); existing files resume the run. "
+         "Only with --use_mesh.")
+CHECKPOINT_EVERY = flag_utils.DEFINE_integer(
+    "checkpoint_every", 0,
+    help="Checkpoint the streaming accumulators every N chunks (0=off).")
 
 _WIND_PAIRS = [
     ("u_component_of_wind", "v_component_of_wind", "wind_vector"),
@@ -465,6 +473,8 @@ def main(argv) -> None:
         input_chunks=INPUT_CHUNKS.value,
         skipna=SKIPNA.value,
         mesh=mesh,
+        checkpoint_path=CHECKPOINT_PATH.value,
+        checkpoint_every=CHECKPOINT_EVERY.value,
     )
   else:
     evaluation.evaluate_in_memory(

@@ -583,6 +583,8 @@ def evaluate_with_mesh(
     input_chunks: Optional[Mapping[str, int]] = None,
     skipna: bool = False,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
     fanout: Optional[int] = None,
     shuffle_before_temporal_mean: bool = False,
     num_threads: Optional[int] = None,
@@ -593,8 +595,12 @@ def evaluate_with_mesh(
 
   Streams (init_)time chunks through a jit-fused metric program with
   on-device (sum, count) accumulators; shards chunks over a
-  ``jax.sharding.Mesh`` when provided.  Extra kwargs accepted for CLI
-  compatibility with the reference are ignored.
+  ``jax.sharding.Mesh`` when provided.  With ``checkpoint_path``, each
+  eval config streams with periodic accumulator checkpoints (every
+  ``checkpoint_every`` chunks) named ``<checkpoint_path>.<config>``, and
+  an existing checkpoint file resumes the run (the reference leans on
+  Dataflow bundle retries instead; it has no resume).  Extra kwargs
+  accepted for CLI compatibility with the reference are ignored.
   """
   del fanout, shuffle_before_temporal_mean, num_threads, runner, argv
   from weatherbench2_tpu.parallel import streaming
@@ -622,8 +628,14 @@ def evaluate_with_mesh(
     )
 
   groups: dict = {}
-  for eval_name, eval_config in eval_configs.items():
-    groups.setdefault(_group_key(eval_config), {})[eval_name] = eval_config
+  if checkpoint_path:
+    # checkpoint state covers a single config's accumulators; stream each
+    # config separately (trading the shared-chunk-read optimization)
+    for eval_name, eval_config in eval_configs.items():
+      groups[("__ckpt__", eval_name)] = {eval_name: eval_config}
+  else:
+    for eval_name, eval_config in eval_configs.items():
+      groups.setdefault(_group_key(eval_config), {})[eval_name] = eval_config
 
   for group in groups.values():
     logging.info(f"Eval config group: {sorted(group)}")
@@ -632,6 +644,17 @@ def evaluate_with_mesh(
         data_config, next(iter(group.values())), lazy=True
     )
     streaming._vlog(f"open+select [{_time.perf_counter() - _t0:.2f}s]")
+    cpath = None
+    state = None
+    if checkpoint_path:
+      (only_name,) = group
+      cpath = f"{checkpoint_path}.{only_name}"
+      if os.path.exists(cpath):
+        state = streaming.StreamingState.load(cpath)
+        logging.info(
+            f"Resuming {only_name} from {cpath} "
+            f"(chunk_index={state.chunk_index})"
+        )
     results_by_config = streaming.evaluate_streaming_multi(
         forecast=forecast,
         truth=truth,
@@ -641,6 +664,9 @@ def evaluate_with_mesh(
         input_chunks=input_chunks,
         skipna=skipna,
         mesh=mesh,
+        state=state,
+        checkpoint_path=cpath,
+        checkpoint_every=checkpoint_every,
     )
     for eval_name, results in results_by_config.items():
       eval_config = group[eval_name]

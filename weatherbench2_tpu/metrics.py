@@ -659,6 +659,43 @@ def _pointwise_crps_spread(
   return forecast.map(per_var)
 
 
+_CRPS_SPREAD_CACHE: dict = {}
+
+
+def _pointwise_crps_spread_cached(
+    forecast: xds.Dataset, ensemble_dim: str, skipna: bool
+) -> xds.Dataset:
+  """Single-slot cache over `_pointwise_crps_spread` for the host path.
+
+  The in-memory metric×region loop evaluates CRPS, CRPSSpread and
+  CRPSSkill against the SAME forecast for every region; without a cache
+  the O(M log M) member sort reruns per metric × region (the reference
+  caches it with dataset_safe_lru_cache(maxsize=1), reference
+  metrics.py:775-780).  Keyed by payload identity, holding a reference to
+  the forecast so ids stay valid; jax-traced payloads bypass the cache
+  (the streaming engine's jit program already CSEs the sort).
+  """
+  cacheable = all(
+      isinstance(v.data, np.ndarray)
+      for v in forecast.variables_dict().values()
+  )
+  if not cacheable:
+    return _pointwise_crps_spread(forecast, ensemble_dim, skipna)
+  key = (
+      tuple((n, id(v.data)) for n, v in forecast.variables_dict().items()),
+      ensemble_dim,
+      bool(skipna),
+  )
+  if _CRPS_SPREAD_CACHE.get("key") == key:
+    return _CRPS_SPREAD_CACHE["result"]
+  result = _pointwise_crps_spread(forecast, ensemble_dim, skipna)
+  _CRPS_SPREAD_CACHE.clear()
+  _CRPS_SPREAD_CACHE.update(
+      {"key": key, "forecast": forecast, "result": result}
+  )
+  return result
+
+
 def _pointwise_crps_skill(
     forecast: xds.Dataset, truth: xds.Dataset, ensemble_dim: str, skipna: bool
 ) -> xds.Dataset:
@@ -689,7 +726,9 @@ class CRPSSpread(EnsembleMetric):
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return _spatial_average(
-        _pointwise_crps_spread(forecast, self.ensemble_dim, skipna=skipna),
+        _pointwise_crps_spread_cached(
+            forecast, self.ensemble_dim, skipna=skipna
+        ),
         region=region,
         skipna=skipna,
     )
@@ -725,7 +764,9 @@ class SpatialCRPSSpread(EnsembleMetric):
   """CRPSSpread without spatial averaging."""
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
-    return _pointwise_crps_spread(forecast, self.ensemble_dim, skipna=skipna)
+    return _pointwise_crps_spread_cached(
+        forecast, self.ensemble_dim, skipna=skipna
+    )
 
 
 @dataclasses.dataclass

@@ -459,6 +459,21 @@ def evaluate_streaming_multi(
   chunk_size = max(chunk_size, batch)
 
   lead_chunk = int(input_chunks.get("lead_time", 0)) or None
+  if lead_chunk and lead_chunk < forecast.sizes.get("lead_time", 0):
+    # lead-dependent derived variables (e.g. precip accumulation) need the
+    # full lead axis resident; chunk boundaries would silently corrupt the
+    # accumulation (the reference routes these through a full-lead rechunk
+    # branch, reference compute_derived_variables.py:217-231)
+    for cfg in eval_configs.values():
+      for dname, dv in cfg.derived_variables.items():
+        if {"lead_time", "prediction_timedelta"} & set(
+            dv.all_input_core_dims
+        ):
+          raise ValueError(
+              f"derived variable {dname!r} requires the full lead_time "
+              "axis per chunk; remove lead_time from input_chunks or "
+              "drop the derived variable"
+          )
 
   # --- probabilistic climatology baseline is built once from truth
   # (identical flags across the group — validated above)
@@ -651,6 +666,19 @@ def evaluate_streaming_multi(
       if (lead_chunk and "lead_time" in forecast.sizes)
       else [slice(None)]
   )
+
+  if len(lead_slices) > 1 and (
+      state.sums is not None or state.chunk_index
+  ):
+    raise ValueError(
+        "resuming from a checkpoint is not supported with lead_time "
+        "chunking: per-lead accumulators are not captured in the state"
+    )
+  if len(lead_slices) > 1 and checkpoint_path:
+    raise ValueError(
+        "checkpointing is not supported with lead_time chunking: the "
+        "state would only cover the current lead slice"
+    )
 
   for lead_i, lead_sl in enumerate(lead_slices):
     if lead_i == 0 and state.sums is not None:

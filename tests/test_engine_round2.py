@@ -207,3 +207,91 @@ def test_crps_spread_cached_once_per_forecast():
   assert calls["n"] == 1
   # different skipna -> new cache entry
   metrics.CRPSSpread().compute_chunk(fc, truth, skipna=True)
+
+
+def test_fused_probabilistic_suite_matches_in_memory(tmp_path):
+  """Streaming fused CRPS-family path vs the in-memory engine."""
+  from weatherbench2_tpu.parallel import streaming
+  from weatherbench2_tpu.regions import ExtraTropicalRegion
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-20",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="2 days", ensemble_size=7,
+          **{**kwargs, "time_stop": "2020-01-10"},
+      ),
+      seed=1,
+  )
+  truth_path = str(tmp_path / "t.zarr")
+  fc_path = str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, truth_path)
+  xds.to_zarr(fc, fc_path)
+
+  def ec():
+    return {
+        "prob": config.Eval(
+            metrics={
+                "crps": metrics.CRPS(),
+                "crps_spread": metrics.CRPSSpread(),
+                "crps_skill": metrics.CRPSSkill(),
+                "ensemble_mean_mse": metrics.EnsembleMeanMSE(),
+                "debiased_mse": metrics.DebiasedEnsembleMeanMSE(),
+                "ensemble_variance": metrics.EnsembleVariance(),
+                "ensemble_mean_rmse": (
+                    metrics.EnsembleMeanRMSESqrtBeforeTimeAvg()
+                ),
+                "ensemble_stddev": (
+                    metrics.EnsembleStddevSqrtBeforeTimeAvg()
+                ),
+            },
+            regions={
+                "global": SliceRegion(),
+                "extra": ExtraTropicalRegion(),
+                "tropics": SliceRegion(lat_slice=slice(-20, 20)),
+            },
+        )
+    }
+
+  def dc(out):
+    return config.Data(
+        selection=config.Selection(
+            variables=["2m_temperature"],
+            time_slice=slice("2020-01-01", "2020-01-08"),
+        ),
+        paths=config.Paths(
+            forecast=fc_path, obs=truth_path,
+            output_dir=str(tmp_path / out),
+        ),
+        by_init=True,
+    )
+
+  # sanity: the fused plan must actually engage for this suite
+  fc_sel = xds.open_zarr(fc_path)
+  plan = streaming._build_prob_fused_plan(
+      ec()["prob"].metrics,
+      ec()["prob"].regions,
+      fc_sel.rename({"time": "init_time", "prediction_timedelta":
+                     "lead_time"}),
+      skipna=False,
+  )
+  assert plan is not None
+  assert plan["fields"] == ["meansq", "skill", "spread", "var"]
+
+  evaluation.evaluate_in_memory(dc("mem"), ec())
+  evaluation.evaluate_with_mesh(
+      dc("str"), ec(), input_chunks={"init_time": 4}
+  )
+  a = xds.open_netcdf(str(tmp_path / "mem" / "prob.nc"))
+  b = xds.open_netcdf(str(tmp_path / "str" / "prob.nc"))
+  for k in a.keys():
+    np.testing.assert_allclose(
+        b[k].transpose(*a[k].dims).values, a[k].values,
+        rtol=2e-4, atol=1e-6,
+    )

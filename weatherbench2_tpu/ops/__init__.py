@@ -4,5 +4,7 @@ from .reductions import (  # noqa: F401
     fused_deterministic_metrics,
     fused_deterministic_sums,
     fused_deterministic_sums_reference,
+    fused_region_sums,
+    fused_region_sums_reference,
     make_region_weight_matrix,
 )

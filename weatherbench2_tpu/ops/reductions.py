@@ -270,6 +270,150 @@ def fused_deterministic_sums(
   return call(forecast, truth, clim, w, wpos)
 
 
+def fused_region_sums_reference(x, region_w, xp=np):
+  """XLA/numpy reference of `fused_region_sums`.
+
+  Args:
+    x: (N, L) rows of pointwise statistics (NaNs allowed).
+    region_w: (R, L) region-weight matrix.
+
+  Returns:
+    sums (R, N), wsum_valid (R, N), nan_w (R, N) — per-row weighted sums
+    with each row's own NaN accounting.
+  """
+  nan_mask = xp.isnan(x)
+  valid = (~nan_mask).astype(x.dtype)
+  x0 = xp.where(nan_mask, 0.0, x)
+  sums = (x0 @ region_w.T).T
+  wsum = (valid @ region_w.T).T
+  nanw = (nan_mask.astype(x.dtype) @ (region_w > 0).astype(x.dtype).T).T
+  return sums, wsum, nanw
+
+
+def _region_sums_kernel(l_real, l_tile, x_ref, w_ref, wpos_ref,
+                        sums_ref, wsum_ref, nanw_ref):
+  """Pallas body: one (row-tile, cell-tile) step of the generic reduction.
+
+  Same masking scheme as `_fused_kernel` (unpadded inputs; out-of-range
+  columns masked in VMEM, out-of-range rows clipped on write)."""
+  import jax
+  import jax.numpy as jnp
+  from jax.experimental import pallas as pl
+
+  j = pl.program_id(1)
+  col_ok = (
+      jax.lax.broadcasted_iota(jnp.int32, (1, l_tile), 1) + j * l_tile
+      < l_real
+  )
+  x = x_ref[:]
+  nan_mask = jnp.isnan(x) & col_ok
+  good = (~jnp.isnan(x)) & col_ok
+  x = jnp.where(good, x, 0.0)
+  w_t = jnp.where(col_ok, w_ref[:], 0.0).T  # (lT, R)
+  wpos_t = jnp.where(col_ok, wpos_ref[:], 0.0).T
+
+  @pl.when(j == 0)
+  def _():
+    sums_ref[:] = jnp.zeros_like(sums_ref)
+    wsum_ref[:] = jnp.zeros_like(wsum_ref)
+    nanw_ref[:] = jnp.zeros_like(nanw_ref)
+
+  sums_ref[:, :] += jnp.dot(x, w_t, preferred_element_type=jnp.float32).T
+  wsum_ref[:, :] += jnp.dot(
+      good.astype(jnp.float32), w_t, preferred_element_type=jnp.float32
+  ).T
+  nanw_ref[:, :] += jnp.dot(
+      nan_mask.astype(jnp.float32), wpos_t,
+      preferred_element_type=jnp.float32,
+  ).T
+
+
+@functools.lru_cache(maxsize=32)
+def _build_region_sums_call(n, l, r, r_pad, n_tile, l_tile, interpret):
+  import jax
+  import jax.numpy as jnp
+  from jax.experimental import pallas as pl
+
+  try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    vmem = pltpu.VMEM
+  except ImportError:  # pragma: no cover
+    vmem = None
+
+  def spec(shape, index_map):
+    kwargs = {}
+    if vmem is not None and not interpret:
+      kwargs["memory_space"] = vmem
+    return pl.BlockSpec(shape, index_map, **kwargs)
+
+  grid = (-(-n // n_tile), -(-l // l_tile))
+  return pl.pallas_call(
+      functools.partial(_region_sums_kernel, l, l_tile),
+      grid=grid,
+      in_specs=[
+          spec((n_tile, l_tile), lambda i, j: (i, j)),  # x rows
+          spec((r_pad, l_tile), lambda i, j: (0, j)),  # region weights
+          spec((r_pad, l_tile), lambda i, j: (0, j)),  # region >0 masks
+      ],
+      out_specs=[
+          spec((r_pad, n_tile), lambda i, j: (0, i)),
+          spec((r_pad, n_tile), lambda i, j: (0, i)),
+          spec((r_pad, n_tile), lambda i, j: (0, i)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((r, n), jnp.float32),
+          jax.ShapeDtypeStruct((r, n), jnp.float32),
+          jax.ShapeDtypeStruct((r, n), jnp.float32),
+      ],
+      interpret=bool(interpret),
+  )
+
+
+def fused_region_sums(
+    x,
+    region_w: Optional[np.ndarray] = None,
+    n_tile: int = 128,
+    l_tile: int = 2048,
+    interpret: Optional[bool] = None,
+):
+  """Generic fused multi-region weighted reduction on TPU (Pallas).
+
+  One HBM pass over ``x`` (rows of pointwise statistics) computing every
+  region's weighted sum, valid-weight sum, and NaN-hit weight — the
+  region epilogue shared by the probabilistic metric suite.
+
+  Args:
+    x: (N, L) float32 rows (e.g. K stats × B batch flattened together).
+    region_w: (R, L) float32 region-weight matrix.
+
+  Returns:
+    sums (R, N), wsum_valid (R, N), nan_w (R, N).
+  """
+  import jax
+  import jax.numpy as jnp
+
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+  x = jnp.asarray(x, jnp.float32)
+  n, l = x.shape
+  r = region_w.shape[0]
+  n_tile = max(_LANE, _round_up(min(n_tile, n), _LANE))
+  l_tile = min(l_tile, _round_up(l, _LANE))
+  while n_tile * l_tile > 262144 and l_tile > _LANE:
+    l_tile //= 2
+  while n_tile * l_tile > 262144 and n_tile > _LANE:
+    n_tile //= 2
+  r_pad = _round_up(r, _SUBLANE)
+  w = jnp.asarray(region_w, jnp.float32)
+  wpos = (w > 0).astype(jnp.float32)
+  call = _build_region_sums_call(
+      int(n), int(l), int(r), int(r_pad), int(n_tile), int(l_tile),
+      bool(interpret),
+  )
+  return call(x, w, wpos)
+
+
 def fused_deterministic_metrics(
     forecast,
     truth,

@@ -156,6 +156,45 @@ class StreamingState:
                chunk_index=d["chunk_index"])
 
 
+def _region_weight_setup(regions, forecast):
+  """(region_names, region_w) for the fused kernels, or None if the
+  config's regions/grid don't map to static (lat, lon) weight masks."""
+  from weatherbench2_tpu import metrics as m
+
+  if None in regions:
+    return None
+  coords = forecast.coords_dict()
+  if "latitude" not in coords or "longitude" not in coords:
+    return None
+  for v in forecast.variables_dict().values():
+    if "latitude" not in v.dims or "longitude" not in v.dims:
+      return None
+  lat = np.asarray(coords["latitude"].data)
+  lon = np.asarray(coords["longitude"].data)
+  w = m._cell_area_from_latitude(np.deg2rad(lat))
+  w = (w / w.mean()).astype(np.float32)
+  try:
+    masks = [r.mask_weights(lat, lon) for r in regions.values()]
+  except (NotImplementedError, KeyError, ValueError):
+    return None
+  from weatherbench2_tpu import ops
+
+  region_w = ops.make_region_weight_matrix(w, masks, len(lon))
+  return np.asarray(list(regions.keys()), dtype=object), region_w
+
+
+def _use_pallas_default() -> bool:
+  import jax
+
+  # the Pallas kernels avoid materializing the stat arrays in HBM
+  # (measured 2.1x the XLA einsum formulation on a v5e chip at the
+  # bench geometry); default on for TPU, opt in elsewhere.
+  return os.environ.get(
+      "WB2_USE_PALLAS",
+      "1" if jax.default_backend() == "tpu" else "0",
+  ) == "1"
+
+
 def _build_fused_plan(jit_metrics, regions, forecast):
   """Detect deterministic metric suites that can run through the fused
   multi-region reduction kernel (weatherbench2_tpu.ops): one HBM pass per
@@ -185,39 +224,84 @@ def _build_fused_plan(jit_metrics, regions, forecast):
       return None
   if not stat_of:
     return None
-  if None in regions:
+  setup = _region_weight_setup(regions, forecast)
+  if setup is None:
     return None
-  coords = forecast.coords_dict()
-  if "latitude" not in coords or "longitude" not in coords:
-    return None
-  for v in forecast.variables_dict().values():
-    if "latitude" not in v.dims or "longitude" not in v.dims:
-      return None
-  lat = np.asarray(coords["latitude"].data)
-  lon = np.asarray(coords["longitude"].data)
-  w = m._cell_area_from_latitude(np.deg2rad(lat))
-  w = (w / w.mean()).astype(np.float32)
-  try:
-    masks = [r.mask_weights(lat, lon) for r in regions.values()]
-  except (NotImplementedError, KeyError, ValueError):
-    return None
-  import jax
-
-  from weatherbench2_tpu import ops
-
-  region_w = ops.make_region_weight_matrix(w, masks, len(lon))
+  region_names, region_w = setup
   return {
       "stat_of": stat_of,
       "acc_name": acc_name,
-      "region_names": np.asarray(list(regions.keys()), dtype=object),
+      "region_names": region_names,
       "region_w": region_w,
-      # the Pallas kernel avoids materializing the six stat arrays in HBM
-      # (measured 2.1x the XLA einsum formulation on a v5e chip at the
-      # bench geometry); default on for TPU, opt in elsewhere.
-      "use_pallas": os.environ.get(
-          "WB2_USE_PALLAS",
-          "1" if jax.default_backend() == "tpu" else "0",
-      ) == "1",
+      "use_pallas": _use_pallas_default(),
+  }
+
+
+# probabilistic metrics expressible as region-means of pointwise fields
+# derived from one member-axis pass: spread (single-sort PWM), skill,
+# squared ensemble-mean error, and ddof=1 ensemble variance
+_PROB_FIELD_DEPS = {
+    "crps": ("skill", "spread"),
+    "spread": ("spread",),
+    "skill": ("skill",),
+    "meansq": ("meansq",),
+    "debiased": ("meansq", "var"),
+    "var": ("var",),
+    "rmse_mean": ("meansq",),
+    "stddev": ("var",),
+}
+
+
+def _build_prob_fused_plan(jit_metrics, regions, forecast, skipna):
+  """Fused plan for the probabilistic (CRPS-family / ensemble) suite.
+
+  One member-axis pass computes the pointwise fields; ONE generic
+  region-matmul kernel call reduces all fields × regions (reference hot
+  loop: metrics.py:611-846 evaluated per metric × region).  skipna=False
+  only: member NaNs then propagate through the pointwise math exactly as
+  the reference's non-skipna means do.
+  """
+  if os.environ.get("WB2_FUSED", "1") == "0" or skipna:
+    return None
+  from weatherbench2_tpu import metrics as m
+
+  type_to_stat = {
+      m.CRPS: "crps",
+      m.CRPSSpread: "spread",
+      m.CRPSSkill: "skill",
+      m.EnsembleMeanMSE: "meansq",
+      m.DebiasedEnsembleMeanMSE: "debiased",
+      m.EnsembleVariance: "var",
+      m.EnsembleMeanRMSESqrtBeforeTimeAvg: "rmse_mean",
+      m.EnsembleStddevSqrtBeforeTimeAvg: "stddev",
+  }
+  stat_of = {}
+  ens_dims = set()
+  for name, metric in jit_metrics.items():
+    stat = type_to_stat.get(type(metric))
+    if stat is None:
+      return None
+    stat_of[name] = stat
+    ens_dims.add(metric.ensemble_dim)
+  if not stat_of or len(ens_dims) != 1:
+    return None
+  (ensemble_dim,) = ens_dims
+  if forecast.sizes.get(ensemble_dim, 0) < 2:
+    return None  # degenerate 1-member semantics differ per metric
+  setup = _region_weight_setup(regions, forecast)
+  if setup is None:
+    return None
+  region_names, region_w = setup
+  fields = sorted({
+      f for stat in stat_of.values() for f in _PROB_FIELD_DEPS[stat]
+  })
+  return {
+      "stat_of": stat_of,
+      "ensemble_dim": ensemble_dim,
+      "fields": fields,
+      "region_names": region_names,
+      "region_w": region_w,
+      "use_pallas": _use_pallas_default(),
   }
 
 
@@ -296,6 +380,105 @@ def _fused_chunk_results(plan, f_c, t_c, prepared, skipna):
       else:
         arr = means[stat_idx[stat]]
       arr = arr.reshape((n_regions,) + other_shape)
+      results[name][v] = xds.DataArray(
+          xds.Variable(out_dims, arr), coords=coords, name=v
+      )
+  return results
+
+
+def _fused_prob_chunk_results(plan, f_c, t_c, skipna):
+  """Per-time probabilistic metric values via one member pass + one
+  region-matmul kernel call per variable; dims (region, ...)."""
+  import jax.numpy as jnp
+
+  from weatherbench2_tpu import ops
+
+  ens = plan["ensemble_dim"]
+  field_names = plan["fields"]
+  n_regions = plan["region_w"].shape[0]
+  region_w = jnp.asarray(plan["region_w"])
+
+  results = {
+      name: xds.Dataset({}, coords={"region": plan["region_names"]})
+      for name in plan["stat_of"]
+  }
+  for v in t_c.keys():
+    fvar = f_c.variables_dict()[v]
+    tvar = t_c.variables_dict()[v]
+    all_dims = xds.broadcast_dims_order(
+        tuple(d for d in fvar.dims if d != ens), tvar.dims
+    )
+    other = [d for d in all_dims if d not in ("longitude", "latitude")]
+    all_dims = tuple(other) + ("longitude", "latitude")
+    sizes = {**tvar.sizes, **fvar.sizes}
+    f_b = fvar.broadcast_to_dims((ens,) + all_dims, sizes, xp=jnp).data
+    t_b = tvar.broadcast_to_dims(all_dims, sizes, xp=jnp).data
+    m = f_b.shape[0]
+    other_shape = f_b.shape[1:-2]
+    l = f_b.shape[-2] * f_b.shape[-1]
+    b = int(np.prod(other_shape)) if other_shape else 1
+    f3 = f_b.reshape(m, b, l)
+    t2 = t_b.reshape(b, l)
+
+    fields = {}
+    if "spread" in field_names:
+      # single-sort PWM form (see metrics._pointwise_crps_spread)
+      xs = jnp.sort(f3, axis=0)
+      coef = (2 * jnp.arange(1, m + 1) - m - 1).reshape(m, 1, 1)
+      fields["spread"] = 2 * (coef * xs).mean(axis=0) / (m - 1)
+    if "skill" in field_names:
+      fields["skill"] = jnp.abs(f3 - t2[None]).mean(axis=0)
+    if "meansq" in field_names or "var" in field_names:
+      xbar = f3.mean(axis=0)
+      if "meansq" in field_names:
+        fields["meansq"] = (xbar - t2) ** 2
+      if "var" in field_names:
+        fields["var"] = ((f3 - xbar[None]) ** 2).sum(axis=0) / (m - 1)
+
+    stack = jnp.stack([fields[k] for k in field_names])  # (K, B, L)
+    k = len(field_names)
+    x2d = stack.reshape(k * b, l)
+    if plan["use_pallas"]:
+      sums, wsum, nanw = ops.fused_region_sums(x2d, plan["region_w"])
+    else:
+      sums, wsum, nanw = ops.fused_region_sums_reference(
+          x2d, region_w, xp=jnp
+      )
+    means = sums / wsum
+    if not skipna:
+      means = jnp.where(nanw > 0, jnp.nan, means)
+    means = means.reshape(n_regions, k, b)
+    mean_of = {
+        name: means[:, i].reshape((n_regions,) + other_shape)
+        for i, name in enumerate(field_names)
+    }
+
+    out_dims = ("region",) + tuple(other)
+    coords = {
+        kk: cv
+        for kk, cv in f_c.coords_dict().items()
+        if set(cv.dims) <= set(other)
+    }
+    coords["region"] = xds.Variable(("region",), plan["region_names"])
+    for name, stat in plan["stat_of"].items():
+      if stat == "crps":
+        arr = mean_of["skill"] - 0.5 * mean_of["spread"]
+      elif stat == "spread":
+        arr = mean_of["spread"]
+      elif stat == "skill":
+        arr = mean_of["skill"]
+      elif stat == "meansq":
+        arr = mean_of["meansq"]
+      elif stat == "debiased":
+        arr = mean_of["meansq"] - mean_of["var"] / m
+      elif stat == "var":
+        arr = mean_of["var"]
+      elif stat == "rmse_mean":
+        arr = jnp.sqrt(mean_of["meansq"])
+      elif stat == "stddev":
+        arr = jnp.sqrt(mean_of["var"])
+      else:  # pragma: no cover
+        raise AssertionError(stat)
       results[name][v] = xds.DataArray(
           xds.Variable(out_dims, arr), coords=coords, name=v
       )
@@ -510,6 +693,16 @@ def evaluate_streaming_multi(
       )
       for c in eval_configs
   }
+  prob_plan_by = {
+      c: (
+          _build_prob_fused_plan(
+              jit_metrics_by[c], regions_by[c], forecast, skipna
+          )
+          if spatial_shards == 1 and fused_plan_by[c] is None
+          else None
+      )
+      for c in eval_configs
+  }
 
   # ---- one fused per-chunk program (jit) per eval config ------------------
   def make_chunk_program(cname):
@@ -518,12 +711,19 @@ def evaluate_streaming_multi(
     regions = regions_by[cname]
     fused_plan = fused_plan_by[cname]
 
+    prob_plan = prob_plan_by[cname]
+
     def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
       """Evaluate all jit metrics × regions; reduce over the chunk dim."""
-      if fused_plan is not None:
-        results = _fused_chunk_results(
-            fused_plan, forecast_c, truth_c, prepared_by_metric, skipna
-        )
+      if fused_plan is not None or prob_plan is not None:
+        if fused_plan is not None:
+          results = _fused_chunk_results(
+              fused_plan, forecast_c, truth_c, prepared_by_metric, skipna
+          )
+        else:
+          results = _fused_prob_chunk_results(
+              prob_plan, forecast_c, truth_c, skipna
+          )
         sums = {}
         counts = {}
         for name, result in results.items():

@@ -1,16 +1,23 @@
-"""Benchmark: BASELINE config #1 — deterministic eval suite wall-clock.
+"""Benchmark: deterministic eval-suite wall-clock at official geometry.
 
-Workload (mirrors the reference's documented in-memory example, which
-"takes around 5 minutes" on a Colab CPU — docs/source/evaluation.ipynb):
-MSE + ACC (+ RMSE + Bias) of geopotential (levels 500/700/850) and
-2m_temperature vs truth + hourly climatology, full-year 2020, 64x32 grid
-(5.625 deg), 730 init times x 21 lead times, with 3 regions.
+Headline workload (the 240x121 official protocol geometry,
+/root/reference/docs/source/official-evaluation.md:281): MSE + RMSE +
+Bias + ACC of geopotential (levels 500/700/850) and 2m_temperature vs
+truth + hourly climatology, full-year 2020, 240x121 grid (1.5 deg), 730
+init times x 21 lead times, 3 regions — streamed through the full engine
+path: zarr (tensorstore) -> host -> HBM chunks -> jit-fused metric x
+region program -> on-device accumulators -> NetCDF results.
 
-Data is synthetic (zero-egress sandbox) but geometrically identical and
-streamed through the full engine path: zarr (tensorstore) -> host ->
-HBM chunks -> jit-fused metric x region program -> on-device accumulators
--> NetCDF results.  Prints one JSON line with wall-clock seconds and
-vs_baseline = 300 s / elapsed.
+Secondary workload (round-1 continuity): the same suite at 64x32, the
+geometry of the reference's only published timing ("takes around 5
+minutes" on a Colab CPU, docs/source/evaluation.ipynb; 300 s).
+
+The single JSON line reports the headline 240x121 wall-clock.
+vs_baseline scales the 300 s Colab figure by the grid-cell ratio
+(240*121)/(64*32) = 14.18x -> 4253 s (a conservative linear-scaling
+proxy; the reference publishes no number at this geometry).  The
+secondary 64x32 figure (vs its direct 300 s baseline) and the
+attempt/failure counts ride along as extra fields.
 """
 import json
 import os
@@ -28,88 +35,99 @@ os.environ.setdefault(
 )
 
 CACHE = os.environ.get("WB2_BENCH_CACHE", "/tmp/wb2_tpu_bench")
-BASELINE_SECONDS = 300.0  # "Takes around 5 minutes" (reference notebook)
+BASELINE_64x32_SECONDS = 300.0  # "Takes around 5 minutes" (reference)
+CELL_RATIO = (240 * 121) / (64 * 32)  # 14.18x the 64x32 grid
+BASELINE_240x121_SECONDS = BASELINE_64x32_SECONDS * CELL_RATIO
 
 
-def _generate_data():
+def _mock_specs(resolution_degrees):
+  return dict(
+      variables_3d=["geopotential"],
+      variables_2d=["2m_temperature"],
+      levels=(500, 700, 850),
+      spatial_resolution_in_degrees=resolution_degrees,
+  )
+
+
+def _generate_geometry(tag, resolution_degrees):
+  """Write synthetic truth/forecast/climatology stores block-wise."""
   from weatherbench2_tpu import schema, xds
 
   os.makedirs(CACHE, exist_ok=True)
-  truth_path = os.path.join(CACHE, "truth_64x32.zarr")
-  forecast_path = os.path.join(CACHE, "forecast_64x32.zarr")
-  clim_path = os.path.join(CACHE, "clim_64x32.zarr")
+  truth_path = os.path.join(CACHE, f"truth_{tag}.zarr")
+  forecast_path = os.path.join(CACHE, f"forecast_{tag}.zarr")
+  clim_path = os.path.join(CACHE, f"clim_{tag}.zarr")
   if all(os.path.exists(p) for p in (truth_path, forecast_path, clim_path)):
     return truth_path, forecast_path, clim_path
 
+  specs = _mock_specs(resolution_degrees)
+  truth = schema.mock_truth_data(
+      time_start="2020-01-01",
+      time_stop="2021-01-11",  # truth must cover init + max lead
+      time_resolution="6 hours",
+      **specs,
+  )
+  forecast = schema.mock_forecast_data(
+      time_start="2020-01-01",
+      time_stop="2021-01-01",
+      time_resolution="12 hours",
+      lead_start="0 days",
+      lead_stop="10 days",
+      lead_resolution="12 hours",
+      **specs,
+  )
+  clim = schema.mock_hourly_climatology_data(hour_interval=6, **specs)
+
   rs = np.random.RandomState(0)
 
-  def randomize(ds):
-    return ds.copy(
-        data={
-            k: rs.randn(*v.shape).astype(np.float32)
+  def write_streamed(ds, path, stream_dim, block, chunks):
+    template = xds.Dataset(
+        {
+            k: xds.stub_variable(v.dims, v.sizes, np.float32)
             for k, v in ds.variables_dict().items()
-        }
+        },
+        coords=dict(ds.coords_dict()),
     )
+    writer = xds.RegionWriter(path, template, chunks=chunks)
+    n = ds.sizes[stream_dim]
+    for start in range(0, n, block):
+      sl = slice(start, min(start + block, n))
+      for name, v in ds.variables_dict().items():
+        shape = [
+            (sl.stop - sl.start) if d == stream_dim else v.sizes[d]
+            for d in v.dims
+        ]
+        writer.write_array(
+            name,
+            tuple(sl if d == stream_dim else slice(None) for d in v.dims),
+            rs.standard_normal(shape).astype(np.float32),
+        )
+    writer.finish()
 
-  truth = randomize(
-      schema.mock_truth_data(
-          variables_3d=["geopotential"],
-          variables_2d=["2m_temperature"],
-          levels=(500, 700, 850),
-          spatial_resolution_in_degrees=5.625,
-          time_start="2020-01-01",
-          time_stop="2021-01-11",  # truth must cover init + max lead
-          time_resolution="6 hours",
-      )
+  write_streamed(truth, truth_path, "time", 124, {"time": 124})
+  write_streamed(
+      forecast, forecast_path, "time", 16,
+      {"time": 16, "prediction_timedelta": -1},
   )
-  forecast = randomize(
-      schema.mock_forecast_data(
-          variables_3d=["geopotential"],
-          variables_2d=["2m_temperature"],
-          levels=(500, 700, 850),
-          spatial_resolution_in_degrees=5.625,
-          time_start="2020-01-01",
-          time_stop="2021-01-01",
-          time_resolution="12 hours",
-          lead_start="0 days",
-          lead_stop="10 days",
-          lead_resolution="12 hours",
-      )
-  )
-  clim = randomize(
-      schema.mock_hourly_climatology_data(
-          variables_3d=["geopotential"],
-          variables_2d=["2m_temperature"],
-          levels=(500, 700, 850),
-          spatial_resolution_in_degrees=5.625,
-          hour_interval=6,
-      )
-  )
-  xds.to_zarr(truth, truth_path, chunks={"time": 124})
-  xds.to_zarr(forecast, forecast_path,
-              chunks={"time": 62, "prediction_timedelta": -1})
-  xds.to_zarr(clim, clim_path)
+  write_streamed(clim, clim_path, "dayofyear", 92, {"dayofyear": 92})
   return truth_path, forecast_path, clim_path
 
 
-def main():
-  truth_path, forecast_path, clim_path = _generate_data()
-
+def _run_suite(truth_path, forecast_path, clim_path, out_tag, input_chunks):
   from weatherbench2_tpu import config, evaluation, metrics, xds
   from weatherbench2_tpu.regions import ExtraTropicalRegion, SliceRegion
 
-  out_dir = os.path.join(CACHE, "results")
   selection = config.Selection(
       variables=["geopotential", "2m_temperature"],
       levels=[500, 700, 850],
       time_slice=slice("2020-01-01", "2020-12-31"),
   )
   paths = config.Paths(
-      forecast=forecast_path, obs=truth_path, output_dir=out_dir,
+      forecast=forecast_path, obs=truth_path,
+      output_dir=os.path.join(CACHE, f"results_{out_tag}"),
       climatology=clim_path,
   )
   data_config = config.Data(selection=selection, paths=paths, by_init=True)
-
   clim = xds.open_zarr(clim_path)
   eval_configs = {
       "deterministic": config.Eval(
@@ -126,9 +144,33 @@ def main():
           },
       )
   }
+  start = time.perf_counter()
+  evaluation.evaluate_with_mesh(
+      data_config, eval_configs, input_chunks=input_chunks
+  )
+  return time.perf_counter() - start
 
+
+def _timed_runs(fn, n_runs, max_attempts):
+  timings = []
+  attempts = 0
+  failures = 0
+  while len(timings) < n_runs and attempts < max_attempts:
+    attempts += 1
+    try:
+      timings.append(fn())
+    except Exception:
+      # transient tunnel/backend failures: back off and retry
+      failures += 1
+      if attempts >= max_attempts and not timings:
+        raise
+      time.sleep(20)
+  return timings, attempts, failures
+
+
+def main():
   # Warm up the accelerator session (tunnel claim + transfer path) so the
-  # timed region measures the workload, not one-time backend setup.
+  # timed regions measure the workload, not one-time backend setup.
   import jax
   import jax.numpy as jnp
 
@@ -141,33 +183,47 @@ def main():
         raise
       time.sleep(30)
 
-  # min of 3 measured runs (standard practice; also insulates the figure
-  # against the sandbox tunnel's sporadic multi-second claim stalls —
-  # interleaved A/B runs show 22-60 s spread on identical code, PERF.md)
-  timings = []
-  attempts = 0
-  while len(timings) < 3 and attempts < 5:
-    attempts += 1
-    try:
-      start = time.perf_counter()
-      evaluation.evaluate_with_mesh(
-          data_config, eval_configs, input_chunks={"init_time": 183}
-      )
-      timings.append(time.perf_counter() - start)
-    except Exception:
-      # transient tunnel/backend failures: back off and retry
-      if attempts >= 5 and not timings:
-        raise
-      time.sleep(20)
-  elapsed = min(timings)
+  # --- headline: official 240x121 geometry, full year ---------------------
+  t240, f240, c240 = _generate_geometry("240x121", 1.5)
+  big_timings, big_attempts, big_failures = _timed_runs(
+      lambda: _run_suite(t240, f240, c240, "240x121", {"init_time": 16}),
+      n_runs=int(os.environ.get("WB2_BENCH_BIG_RUNS", "2")),
+      max_attempts=4,
+  )
 
+  # --- continuity: 64x32 geometry (round-1 metric) -------------------------
+  t64, f64, c64 = _generate_geometry("64x32", 5.625)
+  small_timings, small_attempts, small_failures = _timed_runs(
+      lambda: _run_suite(t64, f64, c64, "64x32", {"init_time": 183}),
+      n_runs=3,
+      max_attempts=5,
+  )
+
+  big = min(big_timings)
+  small = min(small_timings)
   print(
       json.dumps(
           {
-              "metric": "deterministic_eval_suite_wallclock_1yr_64x32",
-              "value": round(elapsed, 3),
+              "metric": "deterministic_eval_suite_wallclock_1yr_240x121",
+              "value": round(big, 3),
               "unit": "seconds",
-              "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+              "vs_baseline": round(BASELINE_240x121_SECONDS / big, 2),
+              "baseline_basis": (
+                  "300 s Colab-CPU 64x32 figure scaled by the "
+                  "(240*121)/(64*32)=14.18 cell ratio"
+              ),
+              "runs": [round(t, 3) for t in big_timings],
+              "attempts": big_attempts,
+              "failed_attempts": big_failures,
+              "secondary": {
+                  "metric": "deterministic_eval_suite_wallclock_1yr_64x32",
+                  "value": round(small, 3),
+                  "unit": "seconds",
+                  "vs_baseline": round(BASELINE_64x32_SECONDS / small, 2),
+                  "runs": [round(t, 3) for t in small_timings],
+                  "attempts": small_attempts,
+                  "failed_attempts": small_failures,
+              },
           }
       )
   )

@@ -1,0 +1,126 @@
+"""Shared fixture builder for the golden regression tests.
+
+Inputs are pure functions of fixed seeds (np.random.RandomState is
+stable across numpy versions), so the test can rebuild them exactly and
+compare fresh results against the committed NetCDFs.
+"""
+import tempfile
+
+import numpy as np
+
+from weatherbench2_tpu import (
+    config, evaluation, metrics, schema, utils, xds,
+)
+from weatherbench2_tpu.regions import ExtraTropicalRegion, SliceRegion
+
+
+def build_inputs(tmp_dir: str):
+  """Fixed-seed truth/forecast/climatology zarr stores."""
+  kwargs = dict(
+      variables_3d=["geopotential"],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-02-01",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=101)
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="3 days",
+          **{**kwargs, "time_stop": "2020-01-20"},
+      ),
+      seed=202,
+  )
+  ens = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="3 days",
+          ensemble_size=5,
+          **{**kwargs, "time_stop": "2020-01-20"},
+      ),
+      seed=303,
+  )
+  clim = utils.random_like(
+      schema.mock_hourly_climatology_data(
+          variables_3d=["geopotential"],
+          variables_2d=["2m_temperature"],
+          spatial_resolution_in_degrees=30.0,
+          hour_interval=6,
+      ),
+      seed=404,
+  )
+  paths = {}
+  for name, ds in [("truth", truth), ("forecast", fc),
+                   ("ensemble", ens), ("climatology", clim)]:
+    path = f"{tmp_dir}/{name}.zarr"
+    xds.to_zarr(ds, path)
+    paths[name] = path
+  return paths
+
+
+def eval_configs(clim):
+  regions = {
+      "global": SliceRegion(),
+      "tropics": SliceRegion(lat_slice=slice(-20, 20)),
+      "extra-tropics": ExtraTropicalRegion(),
+  }
+  return {
+      "deterministic": config.Eval(
+          metrics={
+              "mse": metrics.MSE(),
+              "rmse": metrics.RMSESqrtBeforeTimeAvg(),
+              "acc": metrics.ACC(climatology=clim),
+              "bias": metrics.Bias(),
+              "mae": metrics.MAE(),
+          },
+          regions=regions,
+      ),
+      "deterministic_temporal": config.Eval(
+          metrics={"mse": metrics.MSE(), "bias": metrics.Bias()},
+          regions=regions,
+          temporal_mean=False,
+      ),
+      "probabilistic": config.Eval(
+          metrics={
+              "crps": metrics.CRPS(),
+              "crps_spread": metrics.CRPSSpread(),
+              "crps_skill": metrics.CRPSSkill(),
+              "ensemble_mean_mse": metrics.EnsembleMeanMSE(),
+              "debiased_ensemble_mean_mse": (
+                  metrics.DebiasedEnsembleMeanMSE()
+              ),
+              "ensemble_variance": metrics.EnsembleVariance(),
+          },
+          regions=regions,
+      ),
+  }
+
+
+def compute_results() -> dict:
+  """{config_name: results Dataset} via evaluate_in_memory."""
+  results = {}
+  with tempfile.TemporaryDirectory() as tmp:
+    paths = build_inputs(tmp)
+    clim = xds.open_zarr(paths["climatology"])
+    configs = eval_configs(clim)
+    for name, cfg in configs.items():
+      fc_path = (
+          paths["ensemble"] if name == "probabilistic"
+          else paths["forecast"]
+      )
+      dc = config.Data(
+          selection=config.Selection(
+              variables=["geopotential", "2m_temperature"],
+              levels=[500, 850],
+              time_slice=slice("2020-01-01", "2020-01-15"),
+          ),
+          paths=config.Paths(
+              forecast=fc_path,
+              obs=paths["truth"],
+              climatology=paths["climatology"],
+              output_dir=f"{tmp}/out_{name}",
+          ),
+          by_init=True,
+      )
+      evaluation.evaluate_in_memory(dc, {name: cfg})
+      results[name] = xds.open_netcdf(f"{tmp}/out_{name}/{name}.nc")
+  return results

@@ -80,8 +80,8 @@ def _get_climatology_chunk(
   not_found_means = set(clim_var_dict).difference(climatology.keys())
   if not_found and not_found_means:
     raise KeyError(
-        f"Did not find {not_found} keys in climatology. Appending "
-        "'mean' did not help."
+        f"climatology is missing variables {not_found} (neither bare "
+        "names nor their '_mean'-suffixed forms are present)"
     )
   return climatology[list(clim_var_dict.keys())].rename(clim_var_dict)
 

@@ -26,8 +26,8 @@ def _get_climatology_mean(
   not_found_means = set(clim_var_dict).difference(climatology.keys())
   if not_found and not_found_means:
     raise KeyError(
-        f"Did not find {not_found} keys in climatology. Appending 'mean' "
-        "did not help."
+        f"climatology is missing variables {not_found} (neither bare "
+        "names nor their '_mean'-suffixed forms are present)"
     )
   return climatology[list(clim_var_dict.keys())].rename(clim_var_dict)
 
@@ -61,8 +61,8 @@ def _get_climatology_quantile(
     )
   except KeyError as e:
     raise KeyError(
-        f"Did not find quantiles {quantile}+-{atol} in climatology."
-        " Consider increasing the tolerance or recomputing the climatology."
+        f"no climatology quantile within {atol} of {quantile}; raise the "
+        "tolerance or rebuild the climatology with these quantile levels"
     ) from e
 
 

@@ -1,0 +1,176 @@
+"""Measured official-geometry runs for PERF.md (one-off, real TPU).
+
+Workloads (synthetic data, official geometries/protocols):
+  det_0p25   — deterministic suite (MSE/RMSE/Bias/ACC), 1 month of 2020,
+               1440x721, z500 + 2m_temperature, 62 inits x 21 leads
+               (official chunking --input_chunks=init_time=1,lead_time=1,
+               /root/reference/docs/source/official-evaluation.md:546 —
+               auto-sized here to the HBM budget).
+  prob_240   — CRPS/spread/skill + ensemble mean/var, 1 month, 240x121,
+               50-member 2m_temperature, 62 inits x 21 leads (official ENS
+               protocol at 1.5 deg, official-evaluation.md:887).
+  det_240    — same month at 240x121 deterministic (for the prob-vs-det
+               throughput ratio at matched geometry).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/measure_official.py [workload ...]
+Prints one JSON line per workload: seconds, input GiB streamed, GiB/s.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/wb2_jax_compile_cache"
+)
+
+CACHE = os.environ.get("WB2_OFFICIAL_CACHE", "/tmp/wb2_official")
+
+
+def _write_random(ds, path, stream_dim, block, chunks, seed):
+  from weatherbench2_tpu import xds
+
+  if os.path.exists(os.path.join(path, ".zmetadata")):
+    return
+  rs = np.random.RandomState(seed)
+  template = xds.Dataset(
+      {k: xds.stub_variable(v.dims, v.sizes, np.float32)
+       for k, v in ds.variables_dict().items()},
+      coords=dict(ds.coords_dict()),
+  )
+  writer = xds.RegionWriter(path, template, chunks=chunks)
+  n = ds.sizes[stream_dim]
+  for start in range(0, n, block):
+    sl = slice(start, min(start + block, n))
+    for name, v in ds.variables_dict().items():
+      shape = [(sl.stop - sl.start) if d == stream_dim else v.sizes[d]
+               for d in v.dims]
+      writer.write_array(
+          name,
+          tuple(sl if d == stream_dim else slice(None) for d in v.dims),
+          rs.standard_normal(shape).astype(np.float32),
+      )
+  writer.finish()
+
+
+def _nbytes(ds):
+  return sum(
+      4 * v.size for v in ds.variables_dict().values()
+  )
+
+
+def _specs(res_deg, with_levels):
+  return dict(
+      variables_3d=["geopotential"] if with_levels else [],
+      variables_2d=["2m_temperature"],
+      levels=(500,),
+      spatial_resolution_in_degrees=res_deg,
+  )
+
+
+def _gen(tag, res_deg, with_levels, ensemble=None):
+  from weatherbench2_tpu import schema
+
+  os.makedirs(CACHE, exist_ok=True)
+  specs = _specs(res_deg, with_levels)
+  truth = schema.mock_truth_data(
+      time_start="2020-01-01", time_stop="2020-02-15",
+      time_resolution="6 hours", **specs,
+  )
+  forecast = schema.mock_forecast_data(
+      time_start="2020-01-01", time_stop="2020-02-01",
+      time_resolution="12 hours",
+      lead_start="0 days", lead_stop="10 days", lead_resolution="12 hours",
+      ensemble_size=ensemble, **specs,
+  )
+  clim = schema.mock_hourly_climatology_data(hour_interval=24, **specs)
+  tp = os.path.join(CACHE, f"truth_{tag}.zarr")
+  fp = os.path.join(CACHE, f"forecast_{tag}.zarr")
+  cp = os.path.join(CACHE, f"clim_{tag}.zarr")
+  _write_random(truth, tp, "time", 16, {"time": 16}, 1)
+  _write_random(forecast, fp, "time", 2,
+                {"time": 2, "prediction_timedelta": -1}, 2)
+  _write_random(clim, cp, "dayofyear", 46, {"dayofyear": 46}, 3)
+  return (tp, fp, cp), _nbytes(forecast) + _nbytes(truth)
+
+
+def _run(tag, paths, probabilistic):
+  from weatherbench2_tpu import config, evaluation, metrics, xds
+  from weatherbench2_tpu.regions import ExtraTropicalRegion, SliceRegion
+
+  tp, fp, cp = paths
+  regions = {
+      "global": SliceRegion(),
+      "tropics": SliceRegion(lat_slice=slice(-20, 20)),
+      "extra-tropics": ExtraTropicalRegion(),
+  }
+  if probabilistic:
+    ec = config.Eval(
+        metrics={
+            "crps": metrics.CRPS(),
+            "crps_spread": metrics.CRPSSpread(),
+            "crps_skill": metrics.CRPSSkill(),
+            "ensemble_mean_mse": metrics.EnsembleMeanMSE(),
+            "debiased_ensemble_mean_mse":
+                metrics.DebiasedEnsembleMeanMSE(),
+            "ensemble_variance": metrics.EnsembleVariance(),
+        },
+        regions=regions,
+    )
+  else:
+    clim = xds.open_zarr(cp)
+    ec = config.Eval(
+        metrics={
+            "mse": metrics.MSE(),
+            "rmse": metrics.RMSESqrtBeforeTimeAvg(),
+            "bias": metrics.Bias(),
+            "acc": metrics.ACC(climatology=clim),
+        },
+        regions=regions,
+    )
+  dc = config.Data(
+      selection=config.Selection(
+          variables=["geopotential", "2m_temperature"]
+          if not probabilistic else ["2m_temperature"],
+          levels=[500],
+          time_slice=slice("2020-01-01", "2020-01-31"),
+      ),
+      paths=config.Paths(
+          forecast=fp, obs=tp, climatology=cp,
+          output_dir=os.path.join(CACHE, f"out_{tag}"),
+      ),
+      by_init=True,
+  )
+  start = time.perf_counter()
+  evaluation.evaluate_with_mesh(dc, {tag: ec})
+  return time.perf_counter() - start
+
+
+WORKLOADS = {
+    "det_0p25": dict(res=0.25, levels=True, ensemble=None, prob=False),
+    "prob_240": dict(res=1.5, levels=False, ensemble=50, prob=True),
+    "det_240": dict(res=1.5, levels=True, ensemble=None, prob=False),
+}
+
+
+def main(names):
+  for name in names:
+    w = WORKLOADS[name]
+    t0 = time.perf_counter()
+    paths, in_bytes = _gen(name, w["res"], w["levels"], w["ensemble"])
+    gen_s = time.perf_counter() - t0
+    elapsed = _run(name, paths, w["prob"])
+    gib = in_bytes / 2 ** 30
+    print(json.dumps({
+        "workload": name,
+        "seconds": round(elapsed, 2),
+        "input_gib": round(gib, 2),
+        "gib_per_s": round(gib / elapsed, 3),
+        "datagen_seconds": round(gen_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+  main(sys.argv[1:] or list(WORKLOADS))

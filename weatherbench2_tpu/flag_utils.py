@@ -100,11 +100,12 @@ class _SharedFlagHolder:
   @property
   def value(self):
     flag = self._fv[self.name]
-    if flag.using_default_value:
-      if self._parser is not None and isinstance(self._default, str):
-        return self._parser.parse(self._default)
-      return self._default
-    return flag.value
+    raw = self._default if flag.using_default_value else flag.value
+    # flagsaver/setattr assigns values UNPARSED; parse string values the
+    # way the command line would so e.g. chunks flags always read as dicts
+    if self._parser is not None and isinstance(raw, str):
+      return self._parser.parse(raw)
+    return raw
 
   @property
   def default(self):
@@ -126,11 +127,14 @@ def _reuse_tolerant(define_fn):
 
   def define(name, *args, **kwargs):
     fv = kwargs.get("flag_values", flags.FLAGS)
-    if name in fv:
-      default = args[0] if args else kwargs.get("default")
-      parser = getattr(fv[name], "parser", None)
-      return _SharedFlagHolder(fv, name, default, parser)
-    return define_fn(name, *args, **kwargs)
+    default = args[0] if args else kwargs.get("default")
+    if name not in fv:
+      define_fn(name, *args, **kwargs)
+      # read the canonical (parsed) default back so an unset flag reads
+      # identically to the original holder
+      default = fv[name].default
+    parser = getattr(fv[name], "parser", None)
+    return _SharedFlagHolder(fv, name, default, parser)
 
   return define
 

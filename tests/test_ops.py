@@ -223,3 +223,35 @@ def test_pallas_nondivisible_edges_many_regions():
     np.testing.assert_allclose(
         np.asarray(got), want, rtol=2e-4, atol=1e-3
     )
+
+
+def test_region_sums_pallas_matches_reference():
+  f, t, c, region_w, *_ = _setup(b=9, nan_frac=0.05)
+  x = np.concatenate([f, t, c])  # (3*9, L) rows with NaNs
+  sums_p, wsum_p, nanw_p = ops.fused_region_sums(
+      x, region_w, n_tile=8, l_tile=128, interpret=True
+  )
+  sums_r, wsum_r, nanw_r = ops.fused_region_sums_reference(
+      x.astype(np.float64), region_w.astype(np.float64)
+  )
+  np.testing.assert_allclose(np.asarray(sums_p), sums_r, rtol=2e-5)
+  np.testing.assert_allclose(np.asarray(wsum_p), wsum_r, rtol=2e-5)
+  np.testing.assert_allclose(np.asarray(nanw_p), nanw_r, rtol=2e-5)
+
+
+def test_region_sums_per_row_nan_accounting():
+  # a NaN in one row must not poison other rows' weights
+  _, _, _, region_w, *_ = _setup(b=2)
+  l = region_w.shape[1]
+  x = np.ones((2, l), dtype=np.float32)
+  x[0, 0] = np.nan
+  sums, wsum, nanw = ops.fused_region_sums(
+      x, region_w, n_tile=8, l_tile=128, interpret=True
+  )
+  sums = np.asarray(sums)
+  wsum = np.asarray(wsum)
+  nanw = np.asarray(nanw)
+  assert nanw[0, 0] > 0          # global region sees row-0's NaN
+  assert nanw[0, 1] == 0         # row 1 is clean
+  # row 1: weighted sum of ones == total weight
+  np.testing.assert_allclose(sums[:, 1], wsum[:, 1], rtol=1e-6)

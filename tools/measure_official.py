@@ -34,7 +34,10 @@ def _write_random(ds, path, stream_dim, block, chunks, seed):
 
   if os.path.exists(os.path.join(path, ".zmetadata")):
     return
-  rs = np.random.RandomState(seed)
+  # PCG64 + float32 output is ~4x faster than the legacy RandomState
+  # Mersenne path — datagen is single-core and would otherwise dominate
+  # the tool's wall-clock at the 0.25-degree geometry.
+  rs = np.random.default_rng(seed)
   template = xds.Dataset(
       {k: xds.stub_variable(v.dims, v.sizes, np.float32)
        for k, v in ds.variables_dict().items()},
@@ -50,7 +53,7 @@ def _write_random(ds, path, stream_dim, block, chunks, seed):
       writer.write_array(
           name,
           tuple(sl if d == stream_dim else slice(None) for d in v.dims),
-          rs.standard_normal(shape).astype(np.float32),
+          rs.standard_normal(shape, dtype=np.float32),
       )
   writer.finish()
 

@@ -101,6 +101,22 @@ class Metric:
   #: that require host-side RNG or numpy-only ops).
   supports_jit: t.ClassVar[bool] = True
 
+  #: pointwise-fused protocol (see parallel/streaming.py): metrics whose
+  #: chunk value is an area-weighted regional mean of per-cell fields
+  #: (optionally post-processed by ``finalize_fused``) set this True and
+  #: implement ``pointwise_chunk``; the streaming engine then reduces
+  #: every such metric x region in ONE pass over the chunk through the
+  #: fused region-matmul kernel (ops.fused_region_sums) instead of one
+  #: weighted reduction per metric x region.  Metrics whose fields can be
+  #: +/-Inf (e.g. ignorance/log scores) must NOT opt in: a zero region
+  #: weight cannot mask an Inf inside the kernel's dot product.
+  supports_pointwise_fused: t.ClassVar[bool] = False
+
+  #: NaN handling for the fused regional mean: "global" follows the
+  #: evaluation's skipna flag; "skip" always drops NaN cells from the
+  #: weighted mean (SEEPS p1-mask semantics).
+  fused_nan_mode: t.ClassVar[str] = "global"
+
   def prepare_chunk(
       self, forecast: xds.Dataset, truth: xds.Dataset
   ) -> t.Any:
@@ -118,6 +134,29 @@ class Metric:
     """Jit-safe chunk evaluation given `prepare_chunk` output."""
     del prepared
     return self.compute_chunk(forecast, truth, region=region, skipna=skipna)
+
+  def pointwise_chunk(
+      self,
+      forecast: xds.Dataset,
+      truth: xds.Dataset,
+      prepared: t.Any,
+      skipna: bool,
+  ) -> t.Optional[xds.Dataset]:
+    """Per-cell fields whose weighted regional mean feeds finalize_fused.
+
+    Returns None to decline at trace time (e.g. required variables or
+    ensemble members are missing); the engine then falls back to the
+    per-region ``compute_chunk_prepared`` loop for this metric.
+    """
+    del forecast, truth, prepared, skipna
+    return None
+
+  def finalize_fused(
+      self, means: xds.Dataset, skipna: bool = False
+  ) -> xds.Dataset:
+    """Regional means of ``pointwise_chunk`` fields -> metric result."""
+    del skipna
+    return means
 
   def compute_chunk(
       self,
@@ -237,11 +276,26 @@ class WindVectorRMSESqrtBeforeTimeAvg(Metric):
     return _sqrt(mse)
 
 
+def _squared_error_fields(
+    forecast: xds.Dataset, truth: xds.Dataset, wind_vectors
+) -> t.Optional[xds.Dataset]:
+  """(f-t)^2 per variable, plus du^2+dv^2 for each wind-vector pair."""
+  diff = forecast - truth
+  fields = diff * diff
+  for wv in wind_vectors or ():
+    if wv.u_name not in fields.keys() or wv.v_name not in fields.keys():
+      return None
+    fields[wv.vector_name] = fields[wv.u_name] + fields[wv.v_name]
+  return fields
+
+
 @dataclasses.dataclass
 class RMSESqrtBeforeTimeAvg(Metric):
   """RMSE with the square root taken before time averaging."""
 
   wind_vector_rmse: t.Optional[list] = None
+
+  supports_pointwise_fused: t.ClassVar[bool] = True
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     results = _spatial_average_l2_norm(
@@ -254,12 +308,22 @@ class RMSESqrtBeforeTimeAvg(Metric):
         )
     return results
 
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del prepared, skipna
+    return _squared_error_fields(forecast, truth, self.wind_vector_rmse)
+
+  def finalize_fused(self, means, skipna=False):
+    del skipna
+    return _sqrt(means)
+
 
 @dataclasses.dataclass
 class MSE(Metric):
   """Mean squared error."""
 
   wind_vector_mse: t.Optional[list] = None
+
+  supports_pointwise_fused: t.ClassVar[bool] = True
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     results = _spatial_average(
@@ -271,6 +335,10 @@ class MSE(Metric):
             forecast, truth, region=region, skipna=skipna
         )
     return results
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del prepared, skipna
+    return _squared_error_fields(forecast, truth, self.wind_vector_mse)
 
 
 @dataclasses.dataclass
@@ -286,9 +354,15 @@ class SpatialMSE(Metric):
 class MAE(Metric):
   """Mean absolute error."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return _spatial_average(abs(forecast - truth), region=region,
                             skipna=skipna)
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del prepared, skipna
+    return abs(forecast - truth)
 
 
 @dataclasses.dataclass
@@ -304,8 +378,14 @@ class SpatialMAE(Metric):
 class Bias(Metric):
   """Mean error."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return _spatial_average(forecast - truth, region=region, skipna=skipna)
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del prepared, skipna
+    return forecast - truth
 
 
 @dataclasses.dataclass
@@ -451,6 +531,35 @@ class ACC(Metric):
         * _spatial_average(truth_anom**2, region=region, skipna=skipna)
     )
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    """Three stacked anomaly products: fa*ta, fa^2, ta^2 (dim __fstat)."""
+    del skipna
+    clim = prepared["clim"]
+    indices = prepared["indices"]
+    sel = {"dayofyear": indices["doy"]}
+    if "hour" in indices:
+      sel["hour"] = indices["hour"]
+    climatology_chunk = clim.isel(sel)
+    fa = forecast - climatology_chunk
+    ta = truth - climatology_chunk
+    return xds.concat(
+        [
+            (fa * ta).expand_dims(__fstat=[0]),
+            (fa * fa).expand_dims(__fstat=[1]),
+            (ta * ta).expand_dims(__fstat=[2]),
+        ],
+        "__fstat",
+    )
+
+  def finalize_fused(self, means, skipna=False):
+    del skipna
+    num = means.isel(__fstat=0, drop=True)
+    fvar = means.isel(__fstat=1, drop=True)
+    tvar = means.isel(__fstat=2, drop=True)
+    return num / _sqrt(fvar * tvar)
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self.compute_chunk_prepared(
         forecast, truth, self.prepare_chunk(forecast, truth),
@@ -544,6 +653,11 @@ class SpatialSEEPS(Metric):
 class SEEPS(SpatialSEEPS):
   """Spatially averaged SEEPS."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+  #: the p1 mask NaNs out climatologically degenerate cells; the spatial
+  #: mean always excludes them (skipna=True semantics)
+  fused_nan_mode: t.ClassVar[str] = "skip"
+
   def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
                              skipna=False):
     del skipna  # Ignored; effectively True because of the p1 mask.
@@ -551,6 +665,14 @@ class SEEPS(SpatialSEEPS):
         self, forecast, truth, prepared, region
     )
     return _spatial_average(result, region=region, skipna=True)
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del skipna
+    if self.precip_name not in truth.keys():
+      return None
+    return SpatialSEEPS.compute_chunk_prepared(
+        self, forecast, truth, prepared, region=None
+    )
 
 
 ################################################################################
@@ -808,6 +930,8 @@ def _pointwise_gaussian_crps(
 class GaussianCRPS(Metric):
   """The analytical formulation of CRPS for a Gaussian."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return _spatial_average(
         _pointwise_gaussian_crps(forecast, truth),
@@ -815,10 +939,18 @@ class GaussianCRPS(Metric):
         skipna=skipna,
     )
 
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del prepared, skipna
+    if not _gaussian_var_pairs(forecast):
+      return None
+    return _pointwise_gaussian_crps(forecast, truth)
+
 
 @dataclasses.dataclass
 class GaussianVariance(Metric):
   """The variance of a Gaussian forecast."""
+
+  supports_pointwise_fused: t.ClassVar[bool] = True
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     del truth
@@ -827,6 +959,16 @@ class GaussianVariance(Metric):
       std = forecast[f"{var_name}_std"]
       dataset[var_name] = std * std
     return _spatial_average(dataset, region=region, skipna=skipna)
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del truth, prepared, skipna
+    if not _gaussian_var_pairs(forecast):
+      return None
+    dataset = xds.Dataset({}, coords=dict(forecast.coords_dict()))
+    for var_name in _gaussian_var_pairs(forecast):
+      std = forecast[f"{var_name}_std"]
+      dataset[var_name] = std * std
+    return dataset
 
 
 @dataclasses.dataclass
@@ -874,6 +1016,27 @@ class ThresholdMetric(Metric):
         threshold_method=threshold_method
     )
 
+  def _pointwise_threshold_fields(
+      self, calculate_score, forecast, truth, prepared
+  ) -> t.Optional[xds.Dataset]:
+    """Pointwise per-threshold scores stacked along a `quantile` dim."""
+    if not self.thresholds:
+      return None
+    scores = []
+    for i, threshold in enumerate(self.thresholds):
+      threshold_ds = (
+          prepared[i] if prepared is not None else threshold.compute(truth)
+      )
+      scores.append(
+          calculate_score(forecast, truth, threshold_ds).expand_dims(
+              {"quantile": [threshold.quantile]}
+          )
+      )
+    threshold_method = type(self.thresholds[0]).__name__
+    return xds.concat(scores, dim="quantile").assign_attrs(
+        threshold_method=threshold_method
+    )
+
 
 def _binarize_gt(ds: xds.Dataset, threshold: xds.Dataset) -> xds.Dataset:
   return (ds > threshold).astype(np.float64)
@@ -894,10 +1057,20 @@ def _compute_gaussian_brier_score(forecast, truth, threshold):
 class GaussianBrierScore(ThresholdMetric):
   """Brier score of a Gaussian forecast at climatological thresholds."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         _compute_gaussian_brier_score,
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del skipna
+    if not _gaussian_var_pairs(forecast):
+      return None
+    return self._pointwise_threshold_fields(
+        _compute_gaussian_brier_score, forecast, truth, prepared
     )
 
 
@@ -943,11 +1116,25 @@ def _compute_gaussian_rps_part(forecast, truth, threshold):
 class GaussianRPS(ThresholdMetric):
   """Ranked probability score of a Gaussian forecast over thresholds."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         _compute_gaussian_rps_part,
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
     ).sum("quantile")
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del skipna
+    if not _gaussian_var_pairs(forecast):
+      return None
+    return self._pointwise_threshold_fields(
+        _compute_gaussian_rps_part, forecast, truth, prepared
+    )
+
+  def finalize_fused(self, means, skipna=False):
+    del skipna
+    return means.sum("quantile")
 
 
 @dataclasses.dataclass
@@ -1067,6 +1254,8 @@ class DebiasedSpatialEnsembleMeanMSE(EnsembleMetric):
 class EnergyScore(EnsembleMetric):
   """Energy score E‖X-Y‖ - 0.5 E‖X-X'‖ with adjacent-difference spread."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return EnergyScoreSkill(self.ensemble_dim).compute_chunk(
         forecast, truth, region=region, skipna=skipna
@@ -1074,10 +1263,58 @@ class EnergyScore(EnsembleMetric):
         forecast, truth, region=region, skipna=skipna
     )
 
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    """Squared skill/spread difference fields; the L2 norm's sqrt and the
+    member means happen after the regional reduction (finalize_fused).
+    Spread pair differences get their own `{ensemble_dim}_pairs` dim (one
+    fewer entry than the member dim)."""
+    del prepared, skipna
+    if forecast.sizes.get(self.ensemble_dim, 0) < 2:
+      return None
+    skill = forecast - truth
+    skill = skill * skill
+    spread = self._ensemble_slice(
+        forecast, slice(None, -1)
+    ) - self._ensemble_slice(forecast, slice(1, None))
+    spread = (spread * spread).rename(
+        {self.ensemble_dim: f"{self.ensemble_dim}_pairs"}
+    )
+    out = xds.Dataset({}, coords={
+        k: v
+        for k, v in skill.coords_dict().items()
+        if self.ensemble_dim not in v.dims
+    })
+    for name in truth.keys():
+      out[f"__es_skill__{name}"] = skill[name].variable
+      out[f"__es_spread__{name}"] = spread[name].variable
+    return out
+
+  def finalize_fused(self, means, skipna=False):
+    out = xds.Dataset({}, coords={
+        k: v
+        for k, v in means.coords_dict().items()
+        if not (
+            {self.ensemble_dim, f"{self.ensemble_dim}_pairs"} & set(v.dims)
+        )
+    })
+    pair_dim = f"{self.ensemble_dim}_pairs"
+    for name in means.keys():
+      if not str(name).startswith("__es_skill__"):
+        continue
+      base = str(name)[len("__es_skill__"):]
+      skill = _sqrt(means[name]).mean(self.ensemble_dim, skipna=skipna)
+      spread = _sqrt(means[f"__es_spread__{base}"]).mean(
+          pair_dim, skipna=skipna
+      )
+      out[base] = (skill - 0.5 * spread).variable
+    return out
+
 
 @dataclasses.dataclass
 class EnergyScoreSpread(EnsembleMetric):
   """Energy score spread, E‖X - X'‖, via N-1 adjacent differences."""
+
+  supports_pointwise_fused: t.ClassVar[bool] = True
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     n_ensemble = _get_n_ensemble(forecast, self.ensemble_dim)
@@ -1094,16 +1331,40 @@ class EnergyScoreSpread(EnsembleMetric):
         skipna=skipna,
     ).mean(self.ensemble_dim, skipna=skipna)
 
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del truth, prepared, skipna
+    if forecast.sizes.get(self.ensemble_dim, 0) < 2:
+      return None
+    diff = self._ensemble_slice(
+        forecast, slice(None, -1)
+    ) - self._ensemble_slice(forecast, slice(1, None))
+    return diff * diff
+
+  def finalize_fused(self, means, skipna=False):
+    return _sqrt(means).mean(self.ensemble_dim, skipna=skipna)
+
 
 @dataclasses.dataclass
 class EnergyScoreSkill(EnsembleMetric):
   """Energy score skill, E‖X - Y‖."""
+
+  supports_pointwise_fused: t.ClassVar[bool] = True
 
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     _get_n_ensemble(forecast, self.ensemble_dim)
     return _spatial_average_l2_norm(
         forecast - truth, region=region, skipna=skipna
     ).mean(self.ensemble_dim, skipna=skipna)
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del prepared, skipna
+    if self.ensemble_dim not in forecast.sizes:
+      return None
+    diff = forecast - truth
+    return diff * diff
+
+  def finalize_fused(self, means, skipna=False):
+    return _sqrt(means).mean(self.ensemble_dim, skipna=skipna)
 
 
 def _compute_brier_score(
@@ -1130,6 +1391,8 @@ def _compute_brier_score(
 class EnsembleBrierScore(EnsembleMetric, ThresholdMetric):
   """Brier score of an ensemble forecast at climatological thresholds."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         functools.partial(
@@ -1139,6 +1402,19 @@ class EnsembleBrierScore(EnsembleMetric, ThresholdMetric):
             skipna=skipna,
         ),
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    if self.ensemble_dim not in forecast.sizes:
+      return None
+    return self._pointwise_threshold_fields(
+        functools.partial(
+            _compute_brier_score,
+            ensemble_dim=self.ensemble_dim,
+            debias=False,
+            skipna=skipna,
+        ),
+        forecast, truth, prepared,
     )
 
 
@@ -1162,6 +1438,8 @@ class SpatialEnsembleBrierScore(EnsembleMetric, ThresholdMetric):
 class DebiasedEnsembleBrierScore(EnsembleMetric, ThresholdMetric):
   """Debiased ensemble Brier score (requires n > 1)."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         functools.partial(
@@ -1171,6 +1449,19 @@ class DebiasedEnsembleBrierScore(EnsembleMetric, ThresholdMetric):
             skipna=skipna,
         ),
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
+    )
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    if forecast.sizes.get(self.ensemble_dim, 0) < 2:
+      return None
+    return self._pointwise_threshold_fields(
+        functools.partial(
+            _compute_brier_score,
+            ensemble_dim=self.ensemble_dim,
+            debias=True,
+            skipna=skipna,
+        ),
+        forecast, truth, prepared,
     )
 
 
@@ -1247,6 +1538,8 @@ def _compute_rps_part(forecast, truth, threshold, ensemble_dim, skipna):
 class EnsembleRPS(EnsembleMetric, ThresholdMetric):
   """Ranked probability score of an ensemble forecast over thresholds."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         functools.partial(
@@ -1254,6 +1547,20 @@ class EnsembleRPS(EnsembleMetric, ThresholdMetric):
         ),
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
     ).sum("quantile")
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    if self.ensemble_dim not in forecast.sizes:
+      return None
+    return self._pointwise_threshold_fields(
+        functools.partial(
+            _compute_rps_part, ensemble_dim=self.ensemble_dim, skipna=skipna
+        ),
+        forecast, truth, prepared,
+    )
+
+  def finalize_fused(self, means, skipna=False):
+    del skipna
+    return means.sum("quantile")
 
 
 @dataclasses.dataclass

@@ -195,6 +195,25 @@ def _use_pallas_default() -> bool:
   ) == "1"
 
 
+def _det_stat_of(metric):
+  """Stat name in the 6-stat fused deterministic kernel, or None."""
+  from weatherbench2_tpu import metrics as m
+
+  if type(metric) is m.MSE and not metric.wind_vector_mse:
+    return "mse"
+  if type(metric) is m.Bias:
+    return "bias"
+  if type(metric) is m.MAE:
+    return "mae"
+  if type(metric) is m.RMSESqrtBeforeTimeAvg and (
+      not metric.wind_vector_rmse
+  ):
+    return "rmse"
+  if type(metric) is m.ACC:
+    return "acc"
+  return None
+
+
 def _build_fused_plan(jit_metrics, regions, forecast):
   """Detect deterministic metric suites that can run through the fused
   multi-region reduction kernel (weatherbench2_tpu.ops): one HBM pass per
@@ -202,26 +221,16 @@ def _build_fused_plan(jit_metrics, regions, forecast):
   metric × region.  Returns None when the config doesn't qualify."""
   if os.environ.get("WB2_FUSED", "1") == "0":
     return None
-  from weatherbench2_tpu import metrics as m
 
   stat_of = {}
   acc_name = None
   for name, metric in jit_metrics.items():
-    if type(metric) is m.MSE and not metric.wind_vector_mse:
-      stat_of[name] = "mse"
-    elif type(metric) is m.Bias:
-      stat_of[name] = "bias"
-    elif type(metric) is m.MAE:
-      stat_of[name] = "mae"
-    elif type(metric) is m.RMSESqrtBeforeTimeAvg and (
-        not metric.wind_vector_rmse
-    ):
-      stat_of[name] = "rmse"
-    elif type(metric) is m.ACC:
-      stat_of[name] = "acc"
-      acc_name = name
-    else:
+    stat = _det_stat_of(metric)
+    if stat is None:
       return None
+    stat_of[name] = stat
+    if stat == "acc":
+      acc_name = name
   if not stat_of:
     return None
   setup = _region_weight_setup(regions, forecast)
@@ -252,6 +261,22 @@ _PROB_FIELD_DEPS = {
 }
 
 
+def _prob_stat_of(metric):
+  """Stat name in the fused probabilistic (CRPS-family) plan, or None."""
+  from weatherbench2_tpu import metrics as m
+
+  return {
+      m.CRPS: "crps",
+      m.CRPSSpread: "spread",
+      m.CRPSSkill: "skill",
+      m.EnsembleMeanMSE: "meansq",
+      m.DebiasedEnsembleMeanMSE: "debiased",
+      m.EnsembleVariance: "var",
+      m.EnsembleMeanRMSESqrtBeforeTimeAvg: "rmse_mean",
+      m.EnsembleStddevSqrtBeforeTimeAvg: "stddev",
+  }.get(type(metric))
+
+
 def _build_prob_fused_plan(jit_metrics, regions, forecast, skipna):
   """Fused plan for the probabilistic (CRPS-family / ensemble) suite.
 
@@ -263,22 +288,11 @@ def _build_prob_fused_plan(jit_metrics, regions, forecast, skipna):
   """
   if os.environ.get("WB2_FUSED", "1") == "0" or skipna:
     return None
-  from weatherbench2_tpu import metrics as m
 
-  type_to_stat = {
-      m.CRPS: "crps",
-      m.CRPSSpread: "spread",
-      m.CRPSSkill: "skill",
-      m.EnsembleMeanMSE: "meansq",
-      m.DebiasedEnsembleMeanMSE: "debiased",
-      m.EnsembleVariance: "var",
-      m.EnsembleMeanRMSESqrtBeforeTimeAvg: "rmse_mean",
-      m.EnsembleStddevSqrtBeforeTimeAvg: "stddev",
-  }
   stat_of = {}
   ens_dims = set()
   for name, metric in jit_metrics.items():
-    stat = type_to_stat.get(type(metric))
+    stat = _prob_stat_of(metric)
     if stat is None:
       return None
     stat_of[name] = stat
@@ -485,6 +499,145 @@ def _fused_prob_chunk_results(plan, f_c, t_c, skipna):
   return results
 
 
+def _build_pointwise_plan(jit_metrics, regions, forecast):
+  """Plan for metrics implementing the pointwise-fused protocol
+  (Metric.pointwise_chunk / finalize_fused): every metric's per-cell
+  fields are stacked into ONE (rows, cells) matrix and reduced against
+  all region weights by a single fused_region_sums kernel call per chunk
+  — one HBM pass for the whole suite instead of one weighted reduction
+  per metric × region (the reference's `_metric_and_region_loop`,
+  reference evaluation.py:388-438)."""
+  if os.environ.get("WB2_FUSED", "1") == "0" or not jit_metrics:
+    return None
+  setup = _region_weight_setup(regions, forecast)
+  if setup is None:
+    return None
+  region_names, region_w = setup
+  return {
+      "names": list(jit_metrics),
+      "region_names": region_names,
+      "region_w": region_w,
+      "use_pallas": _use_pallas_default(),
+  }
+
+
+def _pointwise_chunk_results(plan, metrics, f_c, t_c, prepared, skipna):
+  """Evaluate all pointwise-fused metrics with one kernel call.
+
+  Returns (results_by_metric, leftover_names): metrics whose
+  ``pointwise_chunk`` declines at trace time (missing variables/members)
+  fall back to the caller's per-region loop.
+  """
+  import jax.numpy as jnp
+
+  from weatherbench2_tpu import ops
+
+  region_w = plan["region_w"]
+  n_regions = region_w.shape[0]
+
+  rows = []
+  manifest = []  # (metric_name, [(var, other_dims, other_shape, coords)])
+  attrs_of = {}
+  leftover = []
+  for mname in plan["names"]:
+    metric = metrics[mname]
+    fields = metric.pointwise_chunk(f_c, t_c, prepared[mname], skipna)
+    if fields is None or not len(list(fields.keys())) or any(
+        "latitude" not in v.dims or "longitude" not in v.dims
+        for v in fields.variables_dict().values()
+    ):
+      leftover.append(mname)
+      continue
+    attrs_of[mname] = dict(fields.attrs)
+    entries = []
+    for vname in fields.keys():
+      v = fields.variables_dict()[vname]
+      other = tuple(d for d in v.dims if d not in ("longitude", "latitude"))
+      vv = v.transpose(*(other + ("longitude", "latitude")))
+      other_shape = vv.shape[:-2]
+      l = vv.shape[-2] * vv.shape[-1]
+      b = int(np.prod(other_shape)) if other_shape else 1
+      rows.append(jnp.asarray(vv.data, jnp.float32).reshape(b, l))
+      coords = {
+          k: cv
+          for k, cv in fields.coords_dict().items()
+          if cv.dims and set(cv.dims) <= set(other)
+      }
+      entries.append((vname, other, other_shape, coords, b))
+    manifest.append((mname, entries))
+
+  results = {}
+  if not manifest:
+    return results, leftover
+  x = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+  if plan["use_pallas"]:
+    sums, wsum, nanw = ops.fused_region_sums(x, region_w)
+  else:
+    sums, wsum, nanw = ops.fused_region_sums_reference(
+        x, jnp.asarray(region_w), xp=jnp
+    )
+  means_all = sums / wsum
+
+  col = 0
+  region_coord = xds.Variable(("region",), plan["region_names"])
+  for mname, entries in manifest:
+    metric = metrics[mname]
+    nan_mode = metric.fused_nan_mode
+    ds = xds.Dataset({}, coords={"region": region_coord})
+    for vname, other, other_shape, coords, b in entries:
+      mcols = means_all[:, col:col + b]
+      if nan_mode == "global" and not skipna:
+        mcols = jnp.where(nanw[:, col:col + b] > 0, jnp.nan, mcols)
+      col += b
+      arr = mcols.reshape((n_regions,) + other_shape)
+      da = xds.DataArray(
+          xds.Variable(("region",) + other, arr),
+          coords={"region": region_coord, **coords},
+          name=vname,
+      )
+      ds[vname] = da
+    result = metric.finalize_fused(ds, skipna=skipna)
+    if attrs_of[mname]:
+      result = result.assign_attrs(**attrs_of[mname])
+    results[mname] = result
+  return results, leftover
+
+
+def _partition_fused(jit_metrics, regions, forecast, skipna, fused_ok):
+  """Partition a config's metrics across the fused execution tiers.
+
+  Returns (det_plan, prob_plan, pointwise_plan, generic_metrics):
+  the 6-stat deterministic kernel first, then the shared-member-pass
+  CRPS-family plan, then the generic pointwise-fused tier; anything
+  left runs the per-metric × region loop (still inside the same jit
+  program).
+  """
+  remaining = dict(jit_metrics)
+  det_plan = prob_plan = pw_plan = None
+  if fused_ok:
+    det_sub = {n: m for n, m in remaining.items() if _det_stat_of(m)}
+    if det_sub:
+      det_plan = _build_fused_plan(det_sub, regions, forecast)
+      if det_plan is not None:
+        for n in det_sub:
+          remaining.pop(n)
+    prob_sub = {n: m for n, m in remaining.items() if _prob_stat_of(m)}
+    if prob_sub:
+      prob_plan = _build_prob_fused_plan(prob_sub, regions, forecast, skipna)
+      if prob_plan is not None:
+        for n in prob_sub:
+          remaining.pop(n)
+    pw_sub = {
+        n: m for n, m in remaining.items() if m.supports_pointwise_fused
+    }
+    if pw_sub:
+      pw_plan = _build_pointwise_plan(pw_sub, regions, forecast)
+      if pw_plan is not None:
+        for n in pw_sub:
+          remaining.pop(n)
+  return det_plan, prob_plan, pw_plan, remaining
+
+
 def _chunk_slices(total: int, size: int):
   for start in range(0, total, size):
     yield slice(start, min(start + size, total))
@@ -682,24 +835,15 @@ def evaluate_streaming_multi(
   }
   any_temporal = any(cfg.temporal_mean for cfg in eval_configs.values())
 
-  # The fused path reshapes (lon, lat) into one cell axis, which would
+  # The fused paths reshape (lon, lat) into one cell axis, which would
   # force a resharding gather under spatial sharding — use the generic
-  # (GSPMD-partitioned reductions) path there instead.
-  fused_plan_by = {
-      c: (
-          _build_fused_plan(jit_metrics_by[c], regions_by[c], forecast)
-          if spatial_shards == 1
-          else None
-      )
-      for c in eval_configs
-  }
-  prob_plan_by = {
-      c: (
-          _build_prob_fused_plan(
-              jit_metrics_by[c], regions_by[c], forecast, skipna
-          )
-          if spatial_shards == 1 and fused_plan_by[c] is None
-          else None
+  # (GSPMD-partitioned reductions) path there instead.  Each config's
+  # metrics are partitioned across the fused tiers; leftovers run the
+  # per-metric × region loop inside the same jit program.
+  plans_by = {
+      c: _partition_fused(
+          jit_metrics_by[c], regions_by[c], forecast, skipna,
+          spatial_shards == 1,
       )
       for c in eval_configs
   }
@@ -709,33 +853,40 @@ def evaluate_streaming_multi(
     eval_config = eval_configs[cname]
     jit_metrics = jit_metrics_by[cname]
     regions = regions_by[cname]
-    fused_plan = fused_plan_by[cname]
-
-    prob_plan = prob_plan_by[cname]
+    det_plan, prob_plan, pw_plan, generic_metrics = plans_by[cname]
 
     def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
       """Evaluate all jit metrics × regions; reduce over the chunk dim."""
-      if fused_plan is not None or prob_plan is not None:
-        if fused_plan is not None:
-          results = _fused_chunk_results(
-              fused_plan, forecast_c, truth_c, prepared_by_metric, skipna
-          )
-        else:
-          results = _fused_prob_chunk_results(
-              prob_plan, forecast_c, truth_c, skipna
-          )
-        sums = {}
-        counts = {}
-        for name, result in results.items():
-          if eval_config.temporal_mean:
-            s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
-            sums[name], counts[name] = s, c
-          else:
-            sums[name], counts[name] = result, None
-        return sums, counts
+      results = {}
+      generic_names = list(generic_metrics)
+      if det_plan is not None:
+        results.update(
+            _fused_chunk_results(
+                det_plan, forecast_c, truth_c, prepared_by_metric, skipna
+            )
+        )
+      if prob_plan is not None:
+        results.update(
+            _fused_prob_chunk_results(prob_plan, forecast_c, truth_c, skipna)
+        )
+      if pw_plan is not None:
+        pw_results, leftover = _pointwise_chunk_results(
+            pw_plan, jit_metrics, forecast_c, truth_c,
+            prepared_by_metric, skipna,
+        )
+        results.update(pw_results)
+        generic_names.extend(leftover)
+
       sums = {}
       counts = {}
-      for name, metric in jit_metrics.items():
+      for name, result in results.items():
+        if eval_config.temporal_mean:
+          s, c = _masked_sum_count(result, chunk_dim, time_mask, skipna)
+          sums[name], counts[name] = s, c
+        else:
+          sums[name], counts[name] = result, None
+      for name in generic_names:
+        metric = jit_metrics[name]
         region_results = []
         for region_name, region in regions.items():
           res = metric.compute_chunk_prepared(

@@ -96,11 +96,11 @@ class ExtraTropicalRegion(Region):
   threshold_lat: t.Optional[float] = 20
 
   def apply(self, dataset, weights):
-    lat = dataset["latitude"]
+    lat = np.asarray(dataset.coords_dict()["latitude"].data)
     region_weights = xds.DataArray(
-        (np.abs(np.asarray(lat.values)) >= self.threshold_lat).astype(float),
+        (np.abs(lat) >= self.threshold_lat).astype(float),
         dims=("latitude",),
-        coords={"latitude": lat.values},
+        coords={"latitude": lat},
     )
     return dataset, weights * region_weights
 

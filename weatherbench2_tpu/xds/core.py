@@ -572,6 +572,11 @@ class DataArray:
   def dt(self):
     return _DTAccessor(self)
 
+  def coords_dict(self):
+    """Coordinate variables, Dataset-compatible accessor (regions and
+    other dataset-polymorphic code paths call this on either type)."""
+    return dict(self.coords)
+
   @property
   def nbytes(self):
     return self.values.nbytes

@@ -78,7 +78,9 @@ def _generate_geometry(tag, resolution_degrees):
   )
   clim = schema.mock_hourly_climatology_data(hour_interval=6, **specs)
 
-  rs = np.random.RandomState(0)
+  # PCG64 + float32 output: ~4x faster than the legacy RandomState path;
+  # datagen is single-core and dominates first-run setup at 240x121.
+  rs = np.random.default_rng(0)
 
   def write_streamed(ds, path, stream_dim, block, chunks):
     template = xds.Dataset(
@@ -100,7 +102,7 @@ def _generate_geometry(tag, resolution_degrees):
         writer.write_array(
             name,
             tuple(sl if d == stream_dim else slice(None) for d in v.dims),
-            rs.standard_normal(shape).astype(np.float32),
+            rs.standard_normal(shape, dtype=np.float32),
         )
     writer.finish()
 

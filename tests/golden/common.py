@@ -9,7 +9,7 @@ import tempfile
 import numpy as np
 
 from weatherbench2_tpu import (
-    config, evaluation, metrics, schema, utils, xds,
+    config, evaluation, metrics, schema, thresholds, utils, xds,
 )
 from weatherbench2_tpu.regions import ExtraTropicalRegion, SliceRegion
 
@@ -48,21 +48,48 @@ def build_inputs(tmp_dir: str):
       ),
       seed=404,
   )
+  # gaussian forecast: deterministic forecast + per-variable _std fields
+  gauss = fc.copy(data={k: v.data for k, v in fc.variables_dict().items()})
+  for var in list(fc.keys()):
+    gauss[f"{var}_std"] = abs(fc[var]) + 0.5
+
+  # threshold climatology: per-variable fixed quantile surfaces
+  qvars = {}
+  for var in list(clim.keys()):
+    base = clim[var]
+    qvals = np.stack(
+        [np.full(base.shape, -0.6), np.full(base.shape, 0.6)]
+    ).astype(np.float32)
+    qvars[f"{var}_quantile"] = xds.Variable(
+        ("quantile",) + base.dims, qvals
+    )
+  qclim = xds.Dataset(
+      qvars,
+      coords={**clim.coords_dict(), "quantile": np.array([0.25, 0.75])},
+  )
+
   paths = {}
   for name, ds in [("truth", truth), ("forecast", fc),
-                   ("ensemble", ens), ("climatology", clim)]:
+                   ("ensemble", ens), ("climatology", clim),
+                   ("gaussian", gauss), ("qclim", qclim)]:
     path = f"{tmp_dir}/{name}.zarr"
     xds.to_zarr(ds, path)
     paths[name] = path
   return paths
 
 
-def eval_configs(clim):
+def eval_configs(clim, qclim=None):
   regions = {
       "global": SliceRegion(),
       "tropics": SliceRegion(lat_slice=slice(-20, 20)),
       "extra-tropics": ExtraTropicalRegion(),
   }
+  thr = (
+      [thresholds.QuantileThreshold(climatology=qclim, quantile=q)
+       for q in (0.25, 0.75)]
+      if qclim is not None
+      else []
+  )
   return {
       "deterministic": config.Eval(
           metrics={
@@ -92,6 +119,25 @@ def eval_configs(clim):
           },
           regions=regions,
       ),
+      "ensemble_binary": config.Eval(
+          metrics={
+              "brier": metrics.EnsembleBrierScore(thresholds=thr),
+              "debiased_brier": metrics.DebiasedEnsembleBrierScore(
+                  thresholds=thr
+              ),
+              "rps": metrics.EnsembleRPS(thresholds=thr),
+          },
+          regions=regions,
+      ),
+      "gaussian": config.Eval(
+          metrics={
+              "gaussian_crps": metrics.GaussianCRPS(),
+              "gaussian_variance": metrics.GaussianVariance(),
+              "gaussian_brier": metrics.GaussianBrierScore(thresholds=thr),
+              "gaussian_rps": metrics.GaussianRPS(thresholds=thr),
+          },
+          regions=regions,
+      ),
   }
 
 
@@ -101,15 +147,23 @@ def compute_results() -> dict:
   with tempfile.TemporaryDirectory() as tmp:
     paths = build_inputs(tmp)
     clim = xds.open_zarr(paths["climatology"])
-    configs = eval_configs(clim)
+    qclim = xds.open_zarr(paths["qclim"])
+    configs = eval_configs(clim, qclim)
     for name, cfg in configs.items():
-      fc_path = (
-          paths["ensemble"] if name == "probabilistic"
-          else paths["forecast"]
+      fc_path = {
+          "probabilistic": paths["ensemble"],
+          "ensemble_binary": paths["ensemble"],
+          "gaussian": paths["gaussian"],
+      }.get(name, paths["forecast"])
+      aux = (
+          ["geopotential_std", "2m_temperature_std"]
+          if name == "gaussian"
+          else []
       )
       dc = config.Data(
           selection=config.Selection(
               variables=["geopotential", "2m_temperature"],
+              aux_variables=aux,
               levels=[500, 850],
               time_slice=slice("2020-01-01", "2020-01-15"),
           ),

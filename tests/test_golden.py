@@ -23,7 +23,11 @@ def fresh_results():
 
 
 @pytest.mark.parametrize(
-    "name", ["deterministic", "deterministic_temporal", "probabilistic"]
+    "name",
+    [
+        "deterministic", "deterministic_temporal", "probabilistic",
+        "ensemble_binary", "gaussian",
+    ],
 )
 def test_golden(name, fresh_results):
   want = xds.open_netcdf(os.path.join(GOLDEN_DIR, f"{name}.nc"))

@@ -1,0 +1,149 @@
+"""A/B the pointwise-fused tier vs the generic per-metric region loop.
+
+Workload: the official ensemble_binary shape — Brier + debiased Brier +
+RPS at 2 climatological quantile thresholds, the 13 official predefined
+regions, 50-member ensemble (official ENS size,
+/root/reference/docs/source/official-evaluation.md:887), one month of
+12-hourly inits at 64x32.  This is the largest metric x region x
+threshold product in the official suite: 13 regions x (2+2+2) threshold
+rows per variable per chunk.
+
+Runs evaluate_with_mesh twice per repetition — WB2_FUSED=1 (pointwise
+tier: ONE fused_region_sums call per chunk) vs WB2_FUSED=0 (generic
+loop: one weighted reduction per metric x region x threshold) —
+interleaved A/B to cancel tunnel drift.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/measure_pointwise.py [reps]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/wb2_jax_compile_cache"
+)
+
+CACHE = os.environ.get("WB2_PW_CACHE", "/tmp/wb2_pointwise_bench")
+
+
+def _gen():
+  from weatherbench2_tpu import schema, utils, xds
+
+  os.makedirs(CACHE, exist_ok=True)
+  tp = os.path.join(CACHE, "truth.zarr")
+  fp = os.path.join(CACHE, "forecast.zarr")
+  cp = os.path.join(CACHE, "qclim.zarr")
+  if all(
+      os.path.exists(os.path.join(p, ".zmetadata")) for p in (tp, fp, cp)
+  ):
+    return tp, fp, cp
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      spatial_resolution_in_degrees=5.625,
+  )
+  truth = utils.random_like(
+      schema.mock_truth_data(
+          time_start="2020-01-01", time_stop="2020-02-15",
+          time_resolution="6 hours", **kwargs,
+      ),
+      seed=0,
+  )
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          time_start="2020-01-01", time_stop="2020-02-01",
+          time_resolution="12 hours", lead_start="0 days",
+          lead_stop="10 days", lead_resolution="12 hours",
+          ensemble_size=50, **kwargs,
+      ),
+      seed=1,
+  )
+  clim = schema.mock_hourly_climatology_data(hour_interval=6, **kwargs)
+  base = clim["2m_temperature"]
+  qvals = np.stack(
+      [np.full(base.shape, -0.6), np.full(base.shape, 0.6)]
+  ).astype(np.float32)
+  qclim = xds.Dataset(
+      {
+          "2m_temperature_quantile": xds.Variable(
+              ("quantile",) + base.dims, qvals
+          )
+      },
+      coords={**clim.coords_dict(), "quantile": np.array([0.25, 0.75])},
+  )
+  xds.to_zarr(truth, tp, chunks={"time": 64})
+  xds.to_zarr(fc, fp, chunks={"time": 8})
+  xds.to_zarr(qclim, cp)
+  return tp, fp, cp
+
+
+def _run(paths, out):
+  # fresh import AFTER WB2_FUSED is set (plans read it at build time)
+  import sys as _sys
+
+  sys.path.insert(0, "/root/repo")
+  from weatherbench2_tpu import config, evaluation, metrics, thresholds, xds
+
+  sys.path.pop(0)
+  from scripts.evaluate import predefined_regions_dict
+
+  tp, fp, cp = paths
+  clim = xds.open_zarr(cp)
+  thr = [
+      thresholds.QuantileThreshold(climatology=clim, quantile=q)
+      for q in (0.25, 0.75)
+  ]
+  ec = {
+      "ensemble_binary": config.Eval(
+          metrics={
+              "brier": metrics.EnsembleBrierScore(thresholds=thr),
+              "debiased_brier": metrics.DebiasedEnsembleBrierScore(
+                  thresholds=thr
+              ),
+              "rps": metrics.EnsembleRPS(thresholds=thr),
+          },
+          regions=predefined_regions_dict(),
+      )
+  }
+  dc = config.Data(
+      selection=config.Selection(
+          variables=["2m_temperature"],
+          time_slice=slice("2020-01-01", "2020-01-31"),
+      ),
+      paths=config.Paths(
+          forecast=fp, obs=tp,
+          output_dir=os.path.join(CACHE, out),
+      ),
+      by_init=True,
+  )
+  start = time.perf_counter()
+  evaluation.evaluate_with_mesh(dc, ec, input_chunks={"init_time": 16})
+  return time.perf_counter() - start
+
+
+def main(reps):
+  paths = _gen()
+  fused, generic = [], []
+  for rep in range(reps):
+    for mode, sink in (("1", fused), ("0", generic)):
+      os.environ["WB2_FUSED"] = mode
+      sink.append(_run(paths, f"out_f{mode}_{rep}"))
+      print(
+          f"rep {rep} WB2_FUSED={mode}: {sink[-1]:.2f}s", file=sys.stderr,
+          flush=True,
+      )
+  print(json.dumps({
+      "workload": "ensemble_binary_13regions_50mem_64x32_1mo",
+      "fused_s": [round(x, 2) for x in fused],
+      "generic_s": [round(x, 2) for x in generic],
+      "fused_best": round(min(fused), 2),
+      "generic_best": round(min(generic), 2),
+      "speedup_best": round(min(generic) / min(fused), 2),
+  }), flush=True)
+
+
+if __name__ == "__main__":
+  main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)

@@ -125,6 +125,8 @@ def _run(paths, out):
 
 
 def main(reps):
+  from weatherbench2_tpu import xds
+
   paths = _gen()
   fused, generic = [], []
   for rep in range(reps):
@@ -135,6 +137,19 @@ def main(reps):
           f"rep {rep} WB2_FUSED={mode}: {sink[-1]:.2f}s", file=sys.stderr,
           flush=True,
       )
+    # on-chip parity: fused tier must reproduce the generic loop
+    a = xds.open_netcdf(
+        os.path.join(CACHE, f"out_f1_{rep}", "ensemble_binary.nc")
+    )
+    b = xds.open_netcdf(
+        os.path.join(CACHE, f"out_f0_{rep}", "ensemble_binary.nc")
+    )
+    for k in a.keys():
+      np.testing.assert_allclose(
+          a[k].values, b[k].transpose(*a[k].dims).values,
+          rtol=2e-4, atol=1e-6,
+      )
+    print(f"rep {rep}: fused == generic on chip", file=sys.stderr, flush=True)
   print(json.dumps({
       "workload": "ensemble_binary_13regions_50mem_64x32_1mo",
       "fused_s": [round(x, 2) for x in fused],

@@ -7,6 +7,7 @@ the same harness the reference uses between its Beam and in-memory
 engines (reference evaluation_test.py:30-128).
 """
 import numpy as np
+import pytest
 
 from weatherbench2_tpu import (
     config, evaluation, metrics, schema, thresholds, utils, xds,
@@ -53,6 +54,154 @@ def _assert_parity(tmp_path, cfg_name):
         b[k].transpose(*a[k].dims).values, a[k].values,
         rtol=2e-4, atol=1e-6, err_msg=str(k),
     )
+
+
+def _protocol_env():
+  """Shared ingredients for the per-metric protocol oracle."""
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["total_precipitation_24hr"],
+      time_start="2020-01-01", time_stop="2020-01-05",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(
+      schema.mock_truth_data(**{**kwargs, "time_stop": "2020-01-08"}),
+      seed=7,
+  )
+  det_fc = utils.random_like(
+      schema.mock_forecast_data(lead_stop="1 day", **kwargs), seed=8
+  )
+  ens_fc = utils.random_like(
+      schema.mock_forecast_data(lead_stop="1 day", ensemble_size=5,
+                                **kwargs),
+      seed=9,
+  )
+  det_fc = schema.apply_time_conventions(det_fc, by_init=True)
+  ens_fc = schema.apply_time_conventions(ens_fc, by_init=True)
+  truth_det = truth.sel(time=det_fc["valid_time"])
+  truth_ens = truth.sel(time=ens_fc["valid_time"])
+
+  gauss_fc = det_fc.copy(
+      data={k: v.data for k, v in det_fc.variables_dict().items()}
+  )
+  gauss_fc["total_precipitation_24hr_std"] = (
+      abs(det_fc["total_precipitation_24hr"]) + 0.5
+  )
+
+  clim = utils.random_like(
+      schema.mock_hourly_climatology_data(
+          hour_interval=6,
+          variables_3d=[],
+          variables_2d=[
+              "total_precipitation_24hr",
+              "total_precipitation_24hr_seeps_threshold",
+              "total_precipitation_24hr_seeps_dry_fraction",
+          ],
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=10,
+  )
+  clim["total_precipitation_24hr_seeps_threshold"] = (
+      abs(clim["total_precipitation_24hr_seeps_threshold"]) * 0.5 + 0.2
+  )
+  clim["total_precipitation_24hr_seeps_dry_fraction"] = (
+      abs(clim["total_precipitation_24hr_seeps_dry_fraction"]) * 0 + 0.5
+  )
+  base = clim["total_precipitation_24hr"]
+  qvals = np.stack(
+      [np.full(base.shape, -0.6), np.full(base.shape, 0.6)]
+  ).astype(np.float32)
+  qclim = xds.Dataset(
+      {"total_precipitation_24hr_quantile": xds.Variable(
+          ("quantile",) + base.dims, qvals)},
+      coords={**clim.coords_dict(), "quantile": np.array([0.25, 0.75])},
+  )
+  thr = [thresholds.QuantileThreshold(climatology=qclim, quantile=q)
+         for q in (0.25, 0.75)]
+  return {
+      "truth_det": truth_det, "truth_ens": truth_ens,
+      "det_fc": det_fc, "ens_fc": ens_fc, "gauss_fc": gauss_fc,
+      "clim": clim, "thr": thr,
+  }
+
+
+_WV = [metrics.WindVectorMSE(
+    u_name="total_precipitation_24hr", v_name="total_precipitation_24hr",
+    vector_name="vec",
+)]
+_WV_RMSE = [metrics.WindVectorRMSESqrtBeforeTimeAvg(
+    u_name="total_precipitation_24hr", v_name="total_precipitation_24hr",
+    vector_name="vec",
+)]
+
+
+def _protocol_cases(env):
+  return {
+      "bias": (metrics.Bias(), "det"),
+      "mae": (metrics.MAE(), "det"),
+      "mse_wind": (metrics.MSE(wind_vector_mse=_WV), "det"),
+      "rmse_wind": (
+          metrics.RMSESqrtBeforeTimeAvg(wind_vector_rmse=_WV_RMSE), "det"
+      ),
+      "acc": (metrics.ACC(climatology=env["clim"]), "det"),
+      "seeps": (metrics.SEEPS(climatology=env["clim"]), "det"),
+      "gaussian_crps": (metrics.GaussianCRPS(), "gauss"),
+      "gaussian_variance": (metrics.GaussianVariance(), "gauss"),
+      "gaussian_brier": (
+          metrics.GaussianBrierScore(thresholds=env["thr"]), "gauss"
+      ),
+      "gaussian_rps": (metrics.GaussianRPS(thresholds=env["thr"]), "gauss"),
+      "ens_brier": (
+          metrics.EnsembleBrierScore(thresholds=env["thr"]), "ens"
+      ),
+      "ens_debiased_brier": (
+          metrics.DebiasedEnsembleBrierScore(thresholds=env["thr"]), "ens"
+      ),
+      "ens_rps": (metrics.EnsembleRPS(thresholds=env["thr"]), "ens"),
+      "energy_score": (metrics.EnergyScore(), "ens"),
+      "energy_score_spread": (metrics.EnergyScoreSpread(), "ens"),
+      "energy_score_skill": (metrics.EnergyScoreSkill(), "ens"),
+  }
+
+
+@pytest.fixture(scope="module")
+def protocol_env():
+  return _protocol_env()
+
+
+@pytest.mark.parametrize("case", sorted(_protocol_cases(_protocol_env())))
+def test_pointwise_protocol_oracle(case, protocol_env):
+  """pointwise_chunk + weighted regional mean + finalize_fused must equal
+  compute_chunk for every participating metric class — the unit-level pin
+  of the fused tier's math, independent of the engine."""
+  env = protocol_env
+  metric, which = _protocol_cases(env)[case]
+  fc = {"det": env["det_fc"], "ens": env["ens_fc"],
+        "gauss": env["gauss_fc"]}[which]
+  truth = env["truth_ens"] if which == "ens" else env["truth_det"]
+  assert type(metric).supports_pointwise_fused
+
+  prepared = metric.prepare_chunk(fc, truth)
+  fields = metric.pointwise_chunk(fc, truth, prepared, skipna=False)
+  assert fields is not None
+
+  for rname, region in REGIONS.items():
+    eff_skipna = metric.fused_nan_mode == "skip"
+    means = metrics._spatial_average(
+        fields, region=region, skipna=eff_skipna
+    )
+    got = metric.finalize_fused(means, skipna=False)
+    want = metric.compute_chunk_prepared(
+        fc, truth, prepared, region=region, skipna=False
+    )
+    assert sorted(got.keys()) == sorted(want.keys()), case
+    for k in want.keys():
+      np.testing.assert_allclose(
+          got[k].transpose(*want[k].dims).values,
+          want[k].values,
+          rtol=1e-5, atol=1e-7,
+          err_msg=f"{case}/{rname}/{k}",
+      )
 
 
 def test_partition_assigns_tiers():

@@ -68,6 +68,16 @@ def main(argv):
     # reducing over time itself: stream time blocks through running
     # (sum, count) accumulators — the xbeam.Mean-with-fanout analogue
     # (/root/reference/scripts/compute_averages.py:155-166)
+    # Variables without the time dim must NOT ride the block loop: a
+    # block sum leaves them unchanged, so the accumulator would add them
+    # once per block. Reduce them once up front instead.
+    static_vars = [k for k in ds.keys() if time_dim not in ds[k].dims]
+    static_out = None
+    if static_vars:
+      static_out = reduce(ds.drop_vars(
+          [k for k in ds.keys() if time_dim in ds[k].dims]
+      ))
+      ds = ds.drop_vars(static_vars)
     block_size = xds.stream.default_block(ds, time_dim)
     n = ds.sizes[time_dim]
     total = None
@@ -92,6 +102,9 @@ def main(argv):
             [ds.sizes[d] for d in dims if d in ds[name].dims]
         ))
         out[name] = total[name] / denom
+    if static_out is not None:
+      for name in static_out.keys():
+        out[name] = static_out[name]
     xds.to_zarr(out, OUTPUT_PATH.value)
     return
 

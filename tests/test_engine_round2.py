@@ -89,6 +89,25 @@ def test_resume_with_lead_chunking_raises(tmp_path):
     )
 
 
+def test_checkpoint_with_nontemporal_config_raises(tmp_path):
+  """Per-time results live in a host list, not StreamingState: resuming
+  would silently drop completed chunks, so checkpointing must refuse."""
+  truth_path, fc_path = _mk_data(tmp_path)
+  dc = _data_config(tmp_path, truth_path, fc_path)
+  ec = {
+      "temporal": config.Eval(
+          metrics={"mse": metrics.MSE()},
+          regions={"global": SliceRegion()},
+          temporal_mean=False,
+      )
+  }
+  with pytest.raises(ValueError, match="temporal_mean"):
+    evaluation.evaluate_with_mesh(
+        dc, ec, input_chunks={"init_time": 4},
+        checkpoint_path=str(tmp_path / "ck.pkl"), checkpoint_every=1,
+    )
+
+
 def test_checkpoint_resume_matches_full_run(tmp_path):
   truth_path, fc_path = _mk_data(tmp_path)
   dc_full = _data_config(tmp_path, truth_path, fc_path, out="full")

@@ -263,6 +263,53 @@ def test_compute_averages_over_time_skipna(tmp_path):
   assert "time" not in res.sizes
 
 
+def test_compute_averages_static_var_not_inflated(tmp_path):
+  """A variable without the time dim must not be accumulated once per
+  streamed block (regression: N_blocks x inflation under skipna=False)."""
+  in_path, _ = _input(tmp_path, days=16)
+  full = xds.open_zarr(in_path)
+  lat = np.asarray(full.coords_dict()["latitude"].data)
+  lon = np.asarray(full.coords_dict()["longitude"].data)
+  mask = np.linspace(0.0, 1.0, lat.size * lon.size).reshape(
+      lat.size, lon.size
+  )
+  full["land_sea_mask"] = xds.Variable(("latitude", "longitude"), mask)
+  in2 = str(tmp_path / "with_static.zarr")
+  xds.to_zarr(full, in2)
+  out = str(tmp_path / "avg_static.zarr")
+  with flagsaver.flagsaver(
+      input_path=in2, output_path=out,
+      averaging_dims=["time", "latitude", "longitude"], skipna=False,
+      time_start="2020-01-01", time_stop="2020-02-01",
+  ):
+    compute_averages.main([])
+  res = xds.open_zarr(out)
+  from weatherbench2_tpu import metrics as m
+
+  w = m.get_lat_weights(full)
+  want_static = float(
+      (full["land_sea_mask"] * w).mean(["latitude", "longitude"]).values
+  )
+  np.testing.assert_allclose(
+      float(res["land_sea_mask"].values), want_static, rtol=1e-6
+  )
+  want_t2m = float(
+      (full["2m_temperature"] * w)
+      .mean(["time", "latitude", "longitude"]).values
+  )
+  np.testing.assert_allclose(
+      float(res["2m_temperature"].values), want_t2m, rtol=1e-6
+  )
+
+
+def test_resample_rejects_unsorted_time():
+  times = np.array(
+      ["2020-01-02", "2020-01-01", "2020-01-03"], dtype="datetime64[ns]"
+  )
+  with pytest.raises(ValueError, match="monotonically increasing"):
+    utils.resample_time_plan(times, "1 day")
+
+
 def test_zonal_spectrum_time_kept(tmp_path):
   in_path, ds = _input(tmp_path, days=4)
   out = str(tmp_path / "spec.zarr")

@@ -157,9 +157,98 @@ WORKLOADS = {
     "det_240": dict(res=1.5, levels=True, ensemble=None, prob=False),
 }
 
+_OFFICIAL_3D = [
+    "geopotential", "temperature", "specific_humidity",
+    "u_component_of_wind", "v_component_of_wind",
+]
+_OFFICIAL_2D = [
+    "2m_temperature", "10m_u_component_of_wind",
+    "10m_v_component_of_wind", "mean_sea_level_pressure",
+    "total_precipitation_24hr",
+]
+
+
+def _official_cli_240():
+  """The full official deterministic config through scripts/evaluate.py:
+  13 variables (wind pairs -> vector errors), derived wind_speed, SEEPS,
+  the 13 predefined regions, one month at 240x121 (docs §2)."""
+  import subprocess
+
+  from weatherbench2_tpu import schema
+
+  tag = "official_240"
+  specs = dict(
+      variables_3d=_OFFICIAL_3D,
+      variables_2d=_OFFICIAL_2D,
+      levels=(500, 700, 850),
+      spatial_resolution_in_degrees=1.5,
+  )
+  truth = schema.mock_truth_data(
+      time_start="2020-01-01", time_stop="2020-02-15",
+      time_resolution="6 hours", **specs,
+  )
+  forecast = schema.mock_forecast_data(
+      time_start="2020-01-01", time_stop="2020-02-01",
+      time_resolution="12 hours",
+      lead_start="0 days", lead_stop="10 days", lead_resolution="12 hours",
+      **specs,
+  )
+  clim = schema.mock_hourly_climatology_data(
+      hour_interval=12,
+      variables_3d=_OFFICIAL_3D,
+      variables_2d=_OFFICIAL_2D + [
+          "total_precipitation_24hr_seeps_threshold",
+          "total_precipitation_24hr_seeps_dry_fraction",
+      ],
+      levels=(500, 700, 850),
+      spatial_resolution_in_degrees=1.5,
+  )
+  tp = os.path.join(CACHE, f"truth_{tag}.zarr")
+  fp = os.path.join(CACHE, f"forecast_{tag}.zarr")
+  cp = os.path.join(CACHE, f"clim_{tag}.zarr")
+  t0 = time.perf_counter()
+  _write_random(truth, tp, "time", 8, {"time": 8}, 11)
+  _write_random(forecast, fp, "time", 2,
+                {"time": 2, "prediction_timedelta": -1}, 12)
+  _write_random(clim, cp, "dayofyear", 46, {"dayofyear": 46}, 13)
+  gen_s = time.perf_counter() - t0
+  in_bytes = _nbytes(truth) + _nbytes(forecast)
+
+  start = time.perf_counter()
+  subprocess.run(
+      [
+          sys.executable, "/root/repo/scripts/evaluate.py",
+          f"--forecast_path={fp}", f"--obs_path={tp}",
+          f"--climatology_path={cp}",
+          f"--output_dir={os.path.join(CACHE, 'out_' + tag)}",
+          "--eval_configs=deterministic",
+          "--use_mesh", "--regions=all",
+          "--variables=" + ",".join(_OFFICIAL_3D + _OFFICIAL_2D),
+          "--derived_variables=wind_speed",
+          "--compute_seeps",
+          "--levels=500,700,850",
+          "--time_start=2020-01-01", "--time_stop=2020-01-31",
+          "--input_chunks=init_time=8",
+      ],
+      check=True,
+      env={**os.environ, "PYTHONPATH": "/root/repo:/root/.axon_site"},
+  )
+  elapsed = time.perf_counter() - start
+  gib = in_bytes / 2 ** 30
+  print(json.dumps({
+      "workload": tag,
+      "seconds": round(elapsed, 2),
+      "input_gib": round(gib, 2),
+      "gib_per_s": round(gib / elapsed, 3),
+      "datagen_seconds": round(gen_s, 1),
+  }), flush=True)
+
 
 def main(names):
   for name in names:
+    if name == "official_240":
+      _official_cli_240()
+      continue
     w = WORKLOADS[name]
     t0 = time.perf_counter()
     paths, in_bytes = _gen(name, w["res"], w["levels"], w["ensemble"])

@@ -128,35 +128,47 @@ def main(reps):
   from weatherbench2_tpu import xds
 
   paths = _gen()
-  fused, generic = [], []
+  # three formulations of the same chunk program:
+  #   pallas : pointwise tier -> fused_region_sums Pallas kernel
+  #   einsum : pointwise tier -> XLA matmul epilogue (no custom-call
+  #            barrier, so XLA may fuse field computation into the matmul)
+  #   generic: per metric x region x threshold weighted reductions
+  modes = {
+      "pallas": {"WB2_FUSED": "1", "WB2_USE_PALLAS": "1"},
+      "einsum": {"WB2_FUSED": "1", "WB2_USE_PALLAS": "0"},
+      "generic": {"WB2_FUSED": "0", "WB2_USE_PALLAS": "0"},
+  }
+  timings = {k: [] for k in modes}
+  names = list(modes)
   for rep in range(reps):
-    for mode, sink in (("1", fused), ("0", generic)):
-      os.environ["WB2_FUSED"] = mode
-      sink.append(_run(paths, f"out_f{mode}_{rep}"))
+    # rotate execution order: the tunneled backend memoizes repeated
+    # transfers/executions, which otherwise favors later modes in a rep
+    order = names[rep % len(names):] + names[:rep % len(names)]
+    for mode in order:
+      os.environ.update(modes[mode])
+      timings[mode].append(_run(paths, f"out_{mode}_{rep}"))
       print(
-          f"rep {rep} WB2_FUSED={mode}: {sink[-1]:.2f}s", file=sys.stderr,
+          f"rep {rep} {mode}: {timings[mode][-1]:.2f}s", file=sys.stderr,
           flush=True,
       )
-    # on-chip parity: fused tier must reproduce the generic loop
-    a = xds.open_netcdf(
-        os.path.join(CACHE, f"out_f1_{rep}", "ensemble_binary.nc")
+    # on-chip parity: all formulations must agree
+    ref = xds.open_netcdf(
+        os.path.join(CACHE, f"out_generic_{rep}", "ensemble_binary.nc")
     )
-    b = xds.open_netcdf(
-        os.path.join(CACHE, f"out_f0_{rep}", "ensemble_binary.nc")
-    )
-    for k in a.keys():
-      np.testing.assert_allclose(
-          a[k].values, b[k].transpose(*a[k].dims).values,
-          rtol=2e-4, atol=1e-6,
+    for mode in ("pallas", "einsum"):
+      got = xds.open_netcdf(
+          os.path.join(CACHE, f"out_{mode}_{rep}", "ensemble_binary.nc")
       )
-    print(f"rep {rep}: fused == generic on chip", file=sys.stderr, flush=True)
+      for k in ref.keys():
+        np.testing.assert_allclose(
+            got[k].values, ref[k].transpose(*got[k].dims).values,
+            rtol=2e-4, atol=1e-6,
+        )
+    print(f"rep {rep}: all modes agree on chip", file=sys.stderr, flush=True)
   print(json.dumps({
       "workload": "ensemble_binary_13regions_50mem_64x32_1mo",
-      "fused_s": [round(x, 2) for x in fused],
-      "generic_s": [round(x, 2) for x in generic],
-      "fused_best": round(min(fused), 2),
-      "generic_best": round(min(generic), 2),
-      "speedup_best": round(min(generic) / min(fused), 2),
+      **{f"{k}_s": [round(x, 2) for x in v] for k, v in timings.items()},
+      **{f"{k}_best": round(min(v), 2) for k, v in timings.items()},
   }), flush=True)
 
 

@@ -552,9 +552,16 @@ def _evaluate_all_metrics(
   if data_config.by_init:
     truth = truth.sel(time=forecast["valid_time"])
 
-  results = _metric_and_region_loop(
-      forecast, truth, eval_config, skipna=skipna
-  )
+  try:
+    results = _metric_and_region_loop(
+        forecast, truth, eval_config, skipna=skipna
+    )
+  finally:
+    # the single-slot CRPS-spread cache holds the last chunk's forecast
+    # (GBs at official geometry) — don't pin it past the evaluation
+    from weatherbench2_tpu import metrics as metrics_lib
+
+    metrics_lib._CRPS_SPREAD_CACHE.clear()
 
   logging.info("Evaluation complete")
   output_path = _get_output_path(data_config, eval_name, "netcdf")

@@ -74,6 +74,21 @@ def _compute_stats(f, t, clim, xp):
   )
 
 
+def _true_f32_matmul(a, b, xp=np):
+  """a @ b in true float32.
+
+  The TPU MXU decomposes a default-precision f32×f32 matmul into bfloat16
+  passes (~1e-3 relative error — measured 6.4e-4 drift on Brier scores vs
+  the per-region weighted means); region weight reductions must match the
+  reference's float32 numerics, so force HIGHEST precision on device.
+  """
+  if xp is np:
+    return a @ b
+  import jax
+
+  return xp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def fused_deterministic_sums_reference(
     forecast: np.ndarray,
     truth: np.ndarray,
@@ -96,11 +111,13 @@ def fused_deterministic_sums_reference(
   t0 = xp.where(nan_mask, 0.0, truth)
   c0 = xp.where(nan_mask, 0.0, clim)
   stats = _compute_stats(f0, t0, c0, xp)
-  sums = xp.stack([s @ region_w.T for s in stats]).transpose(0, 2, 1)
-  wsum_valid = (valid @ region_w.T).T
-  nan_w = (nan_mask.astype(forecast.dtype) @ (region_w > 0).astype(
-      forecast.dtype
-  ).T).T
+  mm = functools.partial(_true_f32_matmul, xp=xp)
+  sums = xp.stack([mm(s, region_w.T) for s in stats]).transpose(0, 2, 1)
+  wsum_valid = mm(valid, region_w.T).T
+  nan_w = mm(
+      nan_mask.astype(forecast.dtype),
+      (region_w > 0).astype(forecast.dtype).T,
+  ).T
   return sums, wsum_valid, nan_w
 
 
@@ -151,15 +168,20 @@ def _fused_kernel(l_real, l_tile, f_ref, t_ref, c_ref, w_ref, wpos_ref,
     wsum_ref[:] = jnp.zeros_like(wsum_ref)
     nanw_ref[:] = jnp.zeros_like(nanw_ref)
 
+  # HIGHEST precision: default f32 dots run as bfloat16 MXU passes
+  # (~1e-3 relative error), which breaks reference-parity numerics.
+  hi = jax.lax.Precision.HIGHEST
   for s, stat in enumerate(stats):
-    part = jnp.dot(stat, w_t, preferred_element_type=jnp.float32)  # (bT, R)
+    part = jnp.dot(
+        stat, w_t, preferred_element_type=jnp.float32, precision=hi
+    )  # (bT, R)
     sums_ref[s, :, :] += part.T
   wsum_ref[:, :] += jnp.dot(
-      valid, w_t, preferred_element_type=jnp.float32
+      valid, w_t, preferred_element_type=jnp.float32, precision=hi
   ).T
   nanw_ref[:, :] += jnp.dot(
       nan_mask.astype(jnp.float32), wpos_t,
-      preferred_element_type=jnp.float32,
+      preferred_element_type=jnp.float32, precision=hi,
   ).T
 
 
@@ -211,7 +233,7 @@ def fused_deterministic_sums(
     forecast,
     truth,
     clim=None,
-    region_w: Optional[np.ndarray] = None,
+    region_w: np.ndarray = None,
     b_tile: int = 128,
     l_tile: int = 2048,
     interpret: Optional[bool] = None,
@@ -232,6 +254,9 @@ def fused_deterministic_sums(
   import jax
   import jax.numpy as jnp
 
+  if region_w is None:
+    raise ValueError("region_w is required (build it with "
+                     "make_region_weight_matrix)")
   if interpret is None:
     interpret = jax.default_backend() != "tpu"
 
@@ -284,9 +309,10 @@ def fused_region_sums_reference(x, region_w, xp=np):
   nan_mask = xp.isnan(x)
   valid = (~nan_mask).astype(x.dtype)
   x0 = xp.where(nan_mask, 0.0, x)
-  sums = (x0 @ region_w.T).T
-  wsum = (valid @ region_w.T).T
-  nanw = (nan_mask.astype(x.dtype) @ (region_w > 0).astype(x.dtype).T).T
+  mm = functools.partial(_true_f32_matmul, xp=xp)
+  sums = mm(x0, region_w.T).T
+  wsum = mm(valid, region_w.T).T
+  nanw = mm(nan_mask.astype(x.dtype), (region_w > 0).astype(x.dtype).T).T
   return sums, wsum, nanw
 
 
@@ -318,13 +344,17 @@ def _region_sums_kernel(l_real, l_tile, x_ref, w_ref, wpos_ref,
     wsum_ref[:] = jnp.zeros_like(wsum_ref)
     nanw_ref[:] = jnp.zeros_like(nanw_ref)
 
-  sums_ref[:, :] += jnp.dot(x, w_t, preferred_element_type=jnp.float32).T
+  hi = jax.lax.Precision.HIGHEST  # true-f32 dots (see _fused_kernel)
+  sums_ref[:, :] += jnp.dot(
+      x, w_t, preferred_element_type=jnp.float32, precision=hi
+  ).T
   wsum_ref[:, :] += jnp.dot(
-      good.astype(jnp.float32), w_t, preferred_element_type=jnp.float32
+      good.astype(jnp.float32), w_t, preferred_element_type=jnp.float32,
+      precision=hi,
   ).T
   nanw_ref[:, :] += jnp.dot(
       nan_mask.astype(jnp.float32), wpos_t,
-      preferred_element_type=jnp.float32,
+      preferred_element_type=jnp.float32, precision=hi,
   ).T
 
 
@@ -372,7 +402,7 @@ def _build_region_sums_call(n, l, r, r_pad, n_tile, l_tile, interpret):
 
 def fused_region_sums(
     x,
-    region_w: Optional[np.ndarray] = None,
+    region_w: np.ndarray = None,
     n_tile: int = 128,
     l_tile: int = 2048,
     interpret: Optional[bool] = None,
@@ -393,6 +423,9 @@ def fused_region_sums(
   import jax
   import jax.numpy as jnp
 
+  if region_w is None:
+    raise ValueError("region_w is required (build it with "
+                     "make_region_weight_matrix)")
   if interpret is None:
     interpret = jax.default_backend() != "tpu"
   x = jnp.asarray(x, jnp.float32)
@@ -418,7 +451,7 @@ def fused_deterministic_metrics(
     forecast,
     truth,
     clim=None,
-    region_w: Optional[np.ndarray] = None,
+    region_w: np.ndarray = None,
     skipna: bool = False,
     use_pallas: bool = True,
 ):
@@ -430,6 +463,9 @@ def fused_deterministic_metrics(
   """
   import jax.numpy as jnp
 
+  if region_w is None:
+    raise ValueError("region_w is required (build it with "
+                     "make_region_weight_matrix)")
   if use_pallas:
     sums, wsum, nanw = fused_deterministic_sums(
         forecast, truth, clim, region_w

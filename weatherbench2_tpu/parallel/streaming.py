@@ -755,6 +755,17 @@ def evaluate_streaming_multi(
     raise ValueError(
         "checkpoint/resume is only supported for single-config streaming"
     )
+  if state is not None or checkpoint_path:
+    # per-time (temporal_mean=False) results live in a host-side list,
+    # not in StreamingState: resuming would silently drop every
+    # already-completed chunk's rows from the output
+    for cname, cfg in eval_configs.items():
+      if not cfg.temporal_mean:
+        raise ValueError(
+            "checkpoint/resume requires temporal_mean=True (config "
+            f"{cname!r} emits per-time results, which the accumulator "
+            "state does not capture)"
+        )
 
   # Persistent compilation cache: metric programs are compiled remotely on
   # some backends (tens of seconds); identical eval configs reuse them.

@@ -529,6 +529,15 @@ def resample_time_plan(times, period, label: str = "left",
     origin_ts = times[0]
   period64 = np.timedelta64(period)
   offs = times.values - np.datetime64(origin_ts)
+  # the contiguous-range plan below assumes nondecreasing bins; an
+  # unsorted axis would be silently misbinned
+  if len(times) > 1 and not (
+      np.diff(times.values) >= np.timedelta64(0)
+  ).all():
+    raise ValueError(
+        "resampling requires a monotonically increasing time axis; "
+        "sort the input (e.g. via slice_dataset) first"
+    )
   if label == "left":
     bins = offs // period64
   elif label == "right":

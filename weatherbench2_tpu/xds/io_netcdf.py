@@ -32,6 +32,9 @@ def to_netcdf(ds: core.Dataset, filename_or_obj=None, format=None):
     try:
       import h5py  # noqa: F401
     except ImportError:  # pragma: no cover - h5py is in the image
+      if format == "NETCDF4":
+        # explicit request: do not silently hand back a classic file
+        raise
       return _to_netcdf3(ds, filename_or_obj)
     return _to_netcdf4(ds, filename_or_obj)
   return _to_netcdf3(ds, filename_or_obj)
@@ -145,7 +148,7 @@ def _open_netcdf4(path) -> core.Dataset:
         declared_coords.update(str(attrs.pop("coordinates")).split())
 
       if h5py.check_string_dtype(dset.dtype):
-        raw = dset.asstr()[()] if dset.shape else dset.asstr()[()]
+        raw = dset.asstr()[()]
         data = np.asarray(raw, dtype=object)
       else:
         data = np.asarray(dset[()])

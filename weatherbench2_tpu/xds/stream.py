@@ -93,7 +93,8 @@ def template_dataset(
   if coords:
     for k, v in coords.items():
       out_coords[k] = v
-  # drop probe coords that are still probe-sized along an expanded dim
+  # probe coords still probe-sized along an expanded dim are an error:
+  # writing the template would bake truncated coordinate values in
   for k in list(out_coords):
     v = out_coords[k]
     for d in v.dims:

@@ -123,6 +123,49 @@ def test_parity_ensemble_with_nans(tmp_path, skipna):
             tag=f"ens{skipna}")
 
 
+@pytest.mark.parametrize("skipna", [False, True])
+def test_parity_pointwise_tier_with_nans(tmp_path, skipna):
+  """Threshold + energy-score metrics (the pointwise-fused tier) under
+  randomized NaNs, both skipna modes, streaming vs in-memory."""
+  from weatherbench2_tpu import thresholds
+
+  tp, fp = _setup(tmp_path, seed=47, nan_frac=0.02, ensemble=4)
+  clim = schema.mock_hourly_climatology_data(
+      hour_interval=6,
+      variables_3d=["geopotential"],
+      variables_2d=["2m_temperature"],
+      spatial_resolution_in_degrees=30.0,
+  )
+  qvars = {}
+  for var in list(clim.keys()):
+    base = clim[var]
+    qvals = np.stack(
+        [np.full(base.shape, -0.5), np.full(base.shape, 0.5)]
+    ).astype(np.float32)
+    qvars[f"{var}_quantile"] = xds.Variable(
+        ("quantile",) + base.dims, qvals
+    )
+  qclim = xds.Dataset(
+      qvars,
+      coords={**clim.coords_dict(), "quantile": np.array([0.25, 0.75])},
+  )
+  thr = [thresholds.QuantileThreshold(climatology=qclim, quantile=q)
+         for q in (0.25, 0.75)]
+  ec = config.Eval(
+      metrics={
+          "brier": metrics.EnsembleBrierScore(thresholds=thr),
+          "rps": metrics.EnsembleRPS(thresholds=thr),
+          "energy_score": metrics.EnergyScore(),
+      },
+      regions={
+          "global": SliceRegion(),
+          "et": ExtraTropicalRegion(),
+      },
+  )
+  _run_both(tmp_path, tp, fp, ec, True, skipna, chunk=3,
+            tag=f"pw{skipna}")
+
+
 def test_parity_fuzzed_chunk_sizes(tmp_path):
   tp, fp = _setup(tmp_path, seed=31)
   ec = config.Eval(

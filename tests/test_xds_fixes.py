@@ -1,0 +1,187 @@
+"""Regression tests for xds data-layer review findings (round 2):
+CF attr round-trips, float CF offsets, descending-index nearest lookup,
+squeeze/quantile/astype edges, group-level coordinates, template chunking.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from weatherbench2_tpu import schema, utils, xds
+from weatherbench2_tpu.xds import core, io_zarr
+
+
+def _small_ds():
+  return utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-04",
+          spatial_resolution_in_degrees=60.0,
+      ),
+      seed=0,
+  )
+
+
+def test_stale_cf_units_do_not_survive_roundtrip(tmp_path):
+  """A store opened from an xarray-style 'hours since' encoding must not
+  re-emit the stale units attr over freshly ns-encoded data."""
+  ds = _small_ds()
+  # simulate the attrs state after opening an hours-encoded store where
+  # the source units attr survived into the variable attrs
+  tvar = ds.coords_dict()["time"]
+  ds = xds.Dataset(
+      dict(ds.variables_dict()),
+      coords={
+          **ds.coords_dict(),
+          "time": xds.Variable(
+              tvar.dims, tvar.data,
+              {"units": "hours since 1900-01-01", "calendar": "gregorian"},
+          ),
+      },
+  )
+  path = str(tmp_path / "rt.zarr")
+  xds.to_zarr(ds, path)
+  zattrs = json.load(open(os.path.join(path, "time", ".zattrs")))
+  assert zattrs["units"].startswith("nanoseconds since")
+  back = xds.open_zarr(path)
+  np.testing.assert_array_equal(
+      np.asarray(back.coords_dict()["time"].data),
+      np.asarray(_small_ds().coords_dict()["time"].data),
+  )
+  # consumed CF encoding attrs are not user-visible attrs after decode
+  assert "units" not in back.coords_dict()["time"].attrs
+
+
+def test_decode_cf_float_offsets_and_nan():
+  attrs = {"units": "days since 2000-01-01"}
+  data = np.array([0.0, 0.5, np.nan, 2.25])
+  got = io_zarr._decode_cf(data, attrs)
+  want = np.array(
+      ["2000-01-01T00:00", "2000-01-01T12:00", "NaT", "2000-01-03T06:00"],
+      dtype="datetime64[ns]",
+  )
+  np.testing.assert_array_equal(got, want)
+  # bare float timedeltas
+  td = io_zarr._decode_cf(np.array([1.5, np.nan]), {"units": "hours"})
+  assert td.dtype == np.dtype("timedelta64[ns]")
+  assert td[0] == np.timedelta64(90, "m")
+  assert np.isnat(td[1])
+
+
+def test_nearest_on_descending_index():
+  # ERA5-native descending latitude ordering
+  da = xds.DataArray(
+      np.arange(5.0), dims=("latitude",),
+      coords={"latitude": np.array([90.0, 45.0, 0.0, -45.0, -90.0])},
+  )
+  got = da.sel(latitude=44.0, method="nearest")
+  assert float(got.values) == 1.0  # position of 45.0
+  got2 = da.sel(latitude=-46.0, method="nearest")
+  assert float(got2.values) == 3.0
+  with pytest.raises(KeyError):
+    da.sel(latitude=20.0, method="nearest", tolerance=1.0)
+  # ascending still exact
+  da2 = xds.DataArray(
+      np.arange(5.0), dims=("latitude",),
+      coords={"latitude": np.array([-90.0, -45.0, 0.0, 45.0, 90.0])},
+  )
+  assert float(da2.sel(latitude=44.0, method="nearest").values) == 3.0
+
+
+def test_dataset_squeeze_validates_size():
+  ds = _small_ds()
+  with pytest.raises(ValueError, match="cannot squeeze"):
+    ds.squeeze("time")
+  one = ds.isel(time=[0])
+  assert "time" not in one.squeeze("time").sizes
+
+
+def test_quantile_dim_none_reduces_all():
+  ds = _small_ds()
+  got = ds.quantile(0.5)
+  assert got["2m_temperature"].ndim == 0
+  da = ds["2m_temperature"]
+  np.testing.assert_allclose(
+      float(da.quantile(0.5).values), np.quantile(da.values, 0.5)
+  )
+
+
+def test_astype_on_lazy_payload(tmp_path):
+  ds = _small_ds()
+  path = str(tmp_path / "lazy.zarr")
+  xds.to_zarr(ds, path)
+  lazy = xds.open_zarr(path, lazy=True)
+  out = lazy["2m_temperature"].astype(np.float64)
+  assert out.dtype == np.float64
+  np.testing.assert_allclose(
+      out.values, np.asarray(ds["2m_temperature"].values), rtol=1e-6
+  )
+
+
+def test_group_level_coordinates_attr(tmp_path):
+  """xarray records dataset-level non-dim coords in the GROUP zattrs."""
+  ds = _small_ds()
+  path = str(tmp_path / "gc.zarr")
+  xds.to_zarr(ds, path)
+  # add a scalar-ish auxiliary array + declare it at group level only
+  import numpy as np_
+
+  zarr_dir = os.path.join(path, "height")
+  os.makedirs(zarr_dir, exist_ok=True)
+  io_zarr._write_json_key(
+      path, "height/.zarray",
+      {
+          "shape": [], "chunks": [], "dtype": "<f8",
+          "compressor": None, "fill_value": None, "filters": None,
+          "order": "C", "zarr_format": 2,
+      },
+  )
+  io_zarr._write_json_key(
+      path, "height/.zattrs", {"_ARRAY_DIMENSIONS": []}
+  )
+  with open(os.path.join(zarr_dir, "0"), "wb") as f:
+    f.write(np_.float64(2.0).tobytes())
+  gattrs = io_zarr._read_json_key(path, ".zattrs") or {}
+  gattrs["coordinates"] = "height"
+  io_zarr._write_json_key(path, ".zattrs", gattrs)
+  # remove stale consolidated metadata so the group attrs are re-read
+  os.remove(os.path.join(path, ".zmetadata"))
+  back = xds.open_zarr(path)
+  assert "height" in back.coords_dict()
+  assert "height" not in back.variables_dict()
+  assert "coordinates" not in back.attrs
+
+
+def test_streaming_transform_chunks_follow_stream_chunks(tmp_path):
+  ds = _small_ds()
+  out_path = str(tmp_path / "st.zarr")
+  template = xds.Dataset(
+      {
+          "2m_temperature": xds.stub_variable(
+              ds["2m_temperature"].dims, ds["2m_temperature"].sizes,
+              np.float32,
+          )
+      },
+      coords=dict(ds.coords_dict()),
+  )
+  xds.stream.streaming_transform(
+      template, out_path, {"time": 2},
+      lambda w: xds.Dataset(
+          {"2m_temperature": ds["2m_temperature"].isel(w).variable},
+          coords={},
+      ),
+  )
+  zarray = json.load(
+      open(os.path.join(out_path, "2m_temperature", ".zarray"))
+  )
+  # time chunk == stream block, not the whole axis
+  assert zarray["chunks"][0] == 2
+  back = xds.open_zarr(out_path)
+  np.testing.assert_allclose(
+      np.asarray(back["2m_temperature"].values),
+      np.asarray(ds["2m_temperature"].values),
+      rtol=1e-6,
+  )

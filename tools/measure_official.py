@@ -195,7 +195,9 @@ def _official_cli_240():
   )
   clim = schema.mock_hourly_climatology_data(
       hour_interval=12,
-      variables_3d=_OFFICIAL_3D,
+      # the official climatology carries the derived wind_speed too
+      # (ACC needs a climatology entry per evaluated variable)
+      variables_3d=_OFFICIAL_3D + ["wind_speed"],
       variables_2d=_OFFICIAL_2D + [
           "total_precipitation_24hr_seeps_threshold",
           "total_precipitation_24hr_seeps_dry_fraction",

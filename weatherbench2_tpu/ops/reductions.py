@@ -276,12 +276,15 @@ def fused_deterministic_sums(
   # avoiding a full HBM copy of three chunk-sized inputs.
   b_tile = max(_LANE, _round_up(min(b_tile, b), _LANE))
   l_tile = min(l_tile, _round_up(l, _LANE))
-  # VMEM guard: three double-buffered input blocks must fit comfortably in
-  # the 16 MB of VMEM (2 x 3 x b_tile x l_tile x 4 B); 128x2048 measured
-  # fastest on v5e, 256x2048 overflows.
-  while b_tile * l_tile > 262144 and l_tile > _LANE:
+  # VMEM guard: three double-buffered input blocks plus the
+  # HIGHEST-precision dot scratch for six stat matmuls must fit in the
+  # 16 MB of VMEM.  128x2048 was fastest at default precision but the
+  # true-f32 passes overflow scoped vmem at r_pad=16 (measured: 17.8 MB
+  # at the official 13-region 240x121 shape), so the budget is one tile
+  # step smaller; 128x1024 measured 1.04 ms vs 0.89 ms at bench geometry.
+  while b_tile * l_tile > 131072 and l_tile > _LANE:
     l_tile //= 2
-  while b_tile * l_tile > 262144 and b_tile > _LANE:
+  while b_tile * l_tile > 131072 and b_tile > _LANE:
     b_tile //= 2
   r_pad = _round_up(r, _SUBLANE)
 

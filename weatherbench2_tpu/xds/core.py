@@ -349,7 +349,11 @@ class Index:
         flat = flat.astype(self.values.dtype)
 
     if method == "nearest":
-      vals = self.values.astype(np.float64)
+      # searchsorted needs ascending values: operate on the sorted view
+      # and map back (descending latitude is the native ERA5 ordering)
+      vals_raw = self.values.astype(np.float64)
+      order = np.argsort(vals_raw, kind="stable")
+      vals = vals_raw[order]
       q = flat.astype(np.float64)
       pos = np.searchsorted(vals, q)
       pos = np.clip(pos, 1, len(vals) - 1)
@@ -362,7 +366,7 @@ class Index:
           raise KeyError(
               f"labels {flat[bad]} not within tolerance {tolerance}"
           )
-      result = pos
+      result = order[pos]
     else:
       fast = self._positions_vectorized(flat.ravel())
       if fast is not None:
@@ -608,7 +612,10 @@ class DataArray:
 
   # -- conversion ------------------------------------------------------------
   def astype(self, dtype):
-    return self.copy(data=self.data.astype(dtype))
+    data = self.data
+    if isinstance(data, LazyArrayBase):
+      data = np.asarray(data)  # lazy payloads expose no astype
+    return self.copy(data=data.astype(dtype))
 
   def to_jax(self):
     import jax.numpy as jnp
@@ -1050,6 +1057,8 @@ class DataArray:
 
   def quantile(self, q, dim=None, skipna=False):
     xp = _xp(self.data)
+    if dim is None:
+      dim = list(self.dims)  # xarray semantics: reduce over all dims
     if isinstance(dim, str):
       dim = [dim]
     axes = tuple(self.dims.index(d) for d in dim)
@@ -1669,6 +1678,8 @@ class Dataset:
     )
     out = self
     for d in dims:
+      if sizes[d] != 1:
+        raise ValueError(f"cannot squeeze dim {d} of size {sizes[d]}")
       out = out.isel({d: 0})
     return out
 
@@ -1721,9 +1732,9 @@ class Dataset:
       out = {}
       for k in names:
         out[k] = self[k]._binop(other[k], op, reflexive)
-      coords = _merge_coords_dicts(
-          {k: v for k, v in self._coords.items()},
-      )
+      # coords are inherited through each DataArray's own coords below;
+      # dataset-level coords reachable from no shared variable are
+      # intentionally dropped (xarray keeps only compatible coords too)
       ds = Dataset({}, coords={}, attrs=self.attrs)
       for k, da in out.items():
         ds[k] = da
@@ -1848,9 +1859,12 @@ class Dataset:
     )
 
   def quantile(self, q, dim=None, skipna=False):
+    if dim is None:
+      return self.map(lambda da: da.quantile(q, None, skipna))
+    dims = set([dim] if isinstance(dim, str) else dim)
     return self.map(
         lambda da: da.quantile(q, dim, skipna)
-        if (set([dim] if isinstance(dim, str) else dim) & set(da.dims))
+        if dims & set(da.dims)
         else da
     )
 

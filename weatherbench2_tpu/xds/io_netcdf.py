@@ -16,7 +16,8 @@ import numpy as np
 from scipy.io import netcdf_file
 
 from . import core
-from .io_zarr import _KNOWN_COORD_NAMES, _decode_cf, _encode_cf
+from .io_zarr import (_KNOWN_COORD_NAMES, _decode_cf, _encode_cf,
+                      merged_cf_attrs)
 
 _HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
 _NC_DIM_ONLY = b"This is a netCDF dimension but not a netCDF variable."
@@ -64,7 +65,8 @@ def _to_netcdf4(ds: core.Dataset, path: str) -> None:
       else:
         data, cf_attrs = _encode_cf(values)
         dset = f.create_dataset(name, data=data)
-      for k, val in {**cf_attrs, **var.attrs, **extra_attrs}.items():
+      for k, val in {**merged_cf_attrs(var.attrs, cf_attrs),
+                     **extra_attrs}.items():
         try:
           dset.attrs[k] = val
         except TypeError:
@@ -249,7 +251,7 @@ def _to_netcdf3(ds: core.Dataset, filename_or_obj=None):
       else:
         # scipy's assignValue chokes on 0-d arrays; write the item directly
         v.data[()] = data.item()
-      for k, val in {**cf_attrs, **var.attrs}.items():
+      for k, val in merged_cf_attrs(var.attrs, cf_attrs).items():
         if isinstance(val, str):
           setattr(v, k, val)
     f.flush()

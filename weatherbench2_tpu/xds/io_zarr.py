@@ -179,6 +179,23 @@ def _encode_cf(values: np.ndarray):
   return values, {}
 
 
+def _offsets_to_ns(data: np.ndarray, step_ns: int) -> np.ndarray:
+  """CF offsets × unit-in-ns → int64 ns, handling float encodings.
+
+  xarray writes float offsets when they are fractional (e.g. 0.5 days);
+  a bare astype(int64) would truncate those and turn NaN fills into
+  garbage. Floats are scaled first and rounded; NaN maps to INT64_MIN
+  (numpy's NaT).
+  """
+  if np.issubdtype(data.dtype, np.floating):
+    ns = np.asarray(data, np.float64) * step_ns
+    out = np.where(
+        np.isnan(ns), np.iinfo(np.int64).min, np.round(ns)
+    ).astype(np.int64)
+    return out
+  return data.astype(np.int64) * step_ns
+
+
 def _decode_cf(data: np.ndarray, attrs: Mapping[str, Any]) -> np.ndarray:
   units = attrs.get("units")
   if not isinstance(units, str):
@@ -190,15 +207,39 @@ def _decode_cf(data: np.ndarray, attrs: Mapping[str, Any]) -> np.ndarray:
     if np_unit is None:
       return data
     epoch64 = np.datetime64(epoch.strip().replace(" ", "T"), "ns")
-    step = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
-    return (epoch64 + data.astype(np.int64) * step).astype("datetime64[ns]")
+    step_ns = int(np.timedelta64(1, np_unit) // np.timedelta64(1, "ns"))
+    ns = _offsets_to_ns(data, step_ns)
+    vals = (epoch64.astype(np.int64) + ns).astype("datetime64[ns]")
+    if np.issubdtype(data.dtype, np.floating):
+      vals = np.where(
+          ns == np.iinfo(np.int64).min, np.datetime64("NaT", "ns"), vals
+      ).astype("datetime64[ns]")
+    return vals
   unit_name = units.strip()
   np_unit = _CF_UNITS.get(unit_name)
-  if np_unit is not None and np.issubdtype(data.dtype, np.integer):
-    return (data.astype(np.int64) * np.timedelta64(1, np_unit).astype(
-        "timedelta64[ns]"
-    )).astype("timedelta64[ns]")
+  if np_unit is not None and (
+      np.issubdtype(data.dtype, np.integer)
+      or np.issubdtype(data.dtype, np.floating)
+  ):
+    step_ns = int(np.timedelta64(1, np_unit) // np.timedelta64(1, "ns"))
+    return _offsets_to_ns(data, step_ns).astype("timedelta64[ns]")
   return data
+
+
+def merged_cf_attrs(var_attrs, cf_attrs) -> dict:
+  """Merge a variable's attrs with fresh CF-encoding attrs.
+
+  The encoding attrs must win AND evict any stale source units/calendar
+  (e.g. "hours since 1900-01-01" surviving from an xarray-written store):
+  the payload being written is int64 nanoseconds, and a stale units attr
+  would make every reader mis-decode the axis.
+  """
+  out = dict(var_attrs)
+  if cf_attrs:
+    out.pop("units", None)
+    out.pop("calendar", None)
+    out.update(cf_attrs)
+  return out
 
 
 def _dtype_str(dtype: np.dtype) -> str:
@@ -255,7 +296,8 @@ def to_zarr(
       }
       continue
     data, cf_attrs = _encode_cf(values)
-    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims),
+              **merged_cf_attrs(var.attrs, cf_attrs)}
     if not is_coord and nondim_coords:
       zattrs.setdefault("coordinates", " ".join(nondim_coords))
     chunk_shape = _var_chunks(data.shape, chunks, var.dims)
@@ -340,7 +382,8 @@ def create_zarr_template(
     ts.open(
         _array_spec(path, name, metadata, create=True, delete_existing=True)
     ).result().write(data).result()
-    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims),
+              **merged_cf_attrs(var.attrs, cf_attrs)}
     _write_json_key(path, f"{name}/.zattrs", zattrs)
     consolidated[f"{name}/.zarray"] = metadata
     consolidated[f"{name}/.zattrs"] = zattrs
@@ -375,7 +418,8 @@ def create_zarr_template(
     ts.open(
         _array_spec(path, name, metadata, create=True, delete_existing=True)
     ).result()
-    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims), **cf_attrs, **var.attrs}
+    zattrs = {"_ARRAY_DIMENSIONS": list(var.dims),
+              **merged_cf_attrs(var.attrs, cf_attrs)}
     if nondim_coords:
       zattrs.setdefault("coordinates", " ".join(nondim_coords))
     _write_json_key(path, f"{name}/.zattrs", zattrs)
@@ -392,9 +436,17 @@ def create_zarr_template(
   )
 
 
+def open_zarr_array(path: str, name: str):
+  """Open one zarr array as a reusable tensorstore handle."""
+  return _ts().open(_array_spec(path, name)).result()
+
+
 def write_zarr_region(path: str, name: str, key, data: np.ndarray):
-  """Write a region of a zarr array; returns a tensorstore future."""
-  arr = _ts().open(_array_spec(path, name)).result()
+  """Write a region of a zarr array; returns a tensorstore future.
+
+  One-shot convenience — callers writing many regions should hold an
+  ``open_zarr_array`` handle (RegionWriter does)."""
+  arr = open_zarr_array(path, name)
   return arr[key].write(np.ascontiguousarray(data))
 
 
@@ -539,6 +591,12 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
   dim_names = set()
   declared_coords: set[str] = set()
   has_declarations = False
+  # xarray also records dataset-level non-dim coords (those referenced by
+  # no data variable) in the GROUP "coordinates" attribute
+  group_coords_attr = group_attrs.pop("coordinates", None)
+  if group_coords_attr:
+    has_declarations = True
+    declared_coords.update(str(group_coords_attr).split())
   for name, zattrs in entries.items():
     if "_ARRAY_DIMENSIONS" not in zattrs:
       continue
@@ -559,12 +617,26 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
       return name in declared_coords
     return name in _KNOWN_COORD_NAMES
 
+  def _attrs_after_decode(attrs, decoded_dtype):
+    """CF units/calendar consumed by decode are encoding, not attrs —
+    leaving them visible would let a later write mislabel the payload."""
+    if np.issubdtype(decoded_dtype, np.datetime64) or np.issubdtype(
+        decoded_dtype, np.timedelta64
+    ):
+      return {
+          k: v for k, v in attrs.items() if k not in ("units", "calendar")
+      }
+    return dict(attrs)
+
   variables: dict[str, core.Variable] = {}
   if lazy:
     # coords eager (they drive selection); data variables lazy
     for name, arr in arrays.items():
       if _is_coord_name(name):
-        variables[name] = core.Variable(arr.dims, arr.read(), arr.attrs)
+        data = arr.read()
+        variables[name] = core.Variable(
+            arr.dims, data, _attrs_after_decode(arr.attrs, data.dtype)
+        )
       else:
         store = arr.store
         probe = _decode_cf(
@@ -574,7 +646,7 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
         variables[name] = core.Variable(
             arr.dims,
             LazyArray(store, arr.attrs, probe.dtype),
-            arr.attrs,
+            _attrs_after_decode(arr.attrs, probe.dtype),
         )
   else:
     # read eagerly (in parallel threads; tensorstore releases the GIL)
@@ -584,7 +656,10 @@ def open_zarr(path: str, lazy: bool = False) -> core.Dataset:
       }
       for name, fut in results.items():
         arr = arrays[name]
-        variables[name] = core.Variable(arr.dims, fut.result(), arr.attrs)
+        data = fut.result()
+        variables[name] = core.Variable(
+            arr.dims, data, _attrs_after_decode(arr.attrs, data.dtype)
+        )
 
   string_coords: set[str] = set()
   for name, spec in string_arrays.items():

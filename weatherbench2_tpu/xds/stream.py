@@ -169,16 +169,27 @@ class RegionWriter:
                 if v not in (-1, None)}
     io_zarr.create_zarr_template(template, path, chunks=chunks or None)
     self._tvars = template.variables_dict()
+    self._handles: dict = {}
 
   def _drain(self, down_to: int) -> None:
     while len(self._futures) > down_to:
       self._futures.popleft().result()
 
+  def _handle(self, name: str):
+    """One tensorstore handle per variable for the writer's lifetime —
+    re-opening per region write re-reads .zarray metadata (a network
+    round-trip per variable per window on remote stores)."""
+    h = self._handles.get(name)
+    if h is None:
+      h = io_zarr.open_zarr_array(self.path, name)
+      self._handles[name] = h
+    return h
+
   def write_array(self, name: str, region_key: tuple, data: np.ndarray):
     self._drain(self.max_inflight - 1)
     data, _ = io_zarr._encode_cf(np.asarray(data))
     self._futures.append(
-        io_zarr.write_zarr_region(self.path, name, region_key, data)
+        self._handle(name)[region_key].write(np.ascontiguousarray(data))
     )
 
   def write(self, piece: core.Dataset, region: Mapping[str, Any]) -> None:
@@ -218,7 +229,8 @@ def streaming_transform(
   to the Dataset piece covering it, reading whatever input it needs.
   """
   writer = RegionWriter(
-      out_path, out_template, chunks=output_chunks, max_inflight=max_inflight
+      out_path, out_template, chunks=output_chunks,
+      max_inflight=max_inflight, stream_chunks=stream_chunks,
   )
   for window in iter_windows(out_template.sizes, stream_chunks):
     writer.write(compute(window), window)

@@ -89,6 +89,54 @@ def test_resume_with_lead_chunking_raises(tmp_path):
     )
 
 
+def test_resume_with_different_chunk_size_raises(tmp_path):
+  """chunk_index counts chunks: a resume must use the same chunk size."""
+  truth_path, fc_path = _mk_data(tmp_path)
+  dc = _data_config(tmp_path, truth_path, fc_path, out="p1")
+  ec = lambda: {
+      "det": config.Eval(
+          metrics={"mse": metrics.MSE()},
+          regions={"global": SliceRegion()},
+      )
+  }
+  cpath = str(tmp_path / "ck")
+  evaluation.evaluate_with_mesh(
+      dc, ec(), input_chunks={"init_time": 4},
+      checkpoint_path=cpath, checkpoint_every=1,
+  )
+  dc2 = _data_config(tmp_path, truth_path, fc_path, out="p2")
+  with pytest.raises(ValueError, match="chunk_size"):
+    evaluation.evaluate_with_mesh(
+        dc2, ec(), input_chunks={"init_time": 5},
+        checkpoint_path=cpath, checkpoint_every=1,
+    )
+
+
+def test_merge_metric_results_union_quantile_coords():
+  """Metrics sharing a dim name with different labels reindex onto the
+  union with NaN fill (xarray outer-join semantics)."""
+  a = xds.Dataset(
+      {"t2m": xds.Variable(("metric", "quantile"), [[1.0, 2.0]])},
+      coords={
+          "metric": np.asarray(["brier"], dtype=object),
+          "quantile": np.array([0.25, 0.75]),
+      },
+  )
+  b = xds.Dataset(
+      {"t2m": xds.Variable(("metric", "quantile"), [[3.0, 4.0, 5.0]])},
+      coords={
+          "metric": np.asarray(["gauss_brier"], dtype=object),
+          "quantile": np.array([0.5, 0.25, 0.9]),
+      },
+  )
+  merged = evaluation.merge_metric_results([a, b])
+  q = np.asarray(merged.coords_dict()["quantile"].data)
+  np.testing.assert_array_equal(q, [0.25, 0.75, 0.5, 0.9])
+  vals = merged["t2m"].values
+  np.testing.assert_array_equal(vals[0], [1.0, 2.0, np.nan, np.nan])
+  np.testing.assert_array_equal(vals[1], [4.0, np.nan, 3.0, 5.0])
+
+
 def test_checkpoint_with_nontemporal_config_raises(tmp_path):
   """Per-time results live in a host list, not StreamingState: resuming
   would silently drop completed chunks, so checkpointing must refuse."""

@@ -336,8 +336,8 @@ def test_mixed_deterministic_wind_seeps_parity(tmp_path):
       "u_component_of_wind", "v_component_of_wind",
       "total_precipitation_24hr",
   ]
-  # engagement: MSE/RMSE (wind), SEEPS via pointwise; bias/mae/acc via the
-  # 6-stat kernel
+  # engagement: MSE/RMSE (wind), SEEPS and ACC via pointwise (ACC keeps
+  # per-anomaly-product NaN masks there); bias/mae via the fused kernel
   fc_conv = fc.rename(
       {"time": "init_time", "prediction_timedelta": "lead_time"}
   )
@@ -345,9 +345,9 @@ def test_mixed_deterministic_wind_seeps_parity(tmp_path):
   det, prob, pw, generic = streaming._partition_fused(
       cfg.metrics, cfg.regions, fc_conv, False, True
   )
-  assert set(det["stat_of"]) == {"bias", "mae", "acc"}
+  assert set(det["stat_of"]) == {"bias", "mae"}
   assert prob is None
-  assert set(pw["names"]) == {"mse", "rmse", "seeps"}
+  assert set(pw["names"]) == {"mse", "rmse", "seeps", "acc"}
   assert not generic
 
   evaluation.evaluate_in_memory(

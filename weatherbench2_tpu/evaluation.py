@@ -130,10 +130,17 @@ def _impose_data_selection(
         )
     )
   else:
-    sel_variables = [
-        v for v in selection.variables if v in dataset
-    ] or list(selection.variables)
-  dataset = dataset[[v for v in sel_variables if v in dataset]]
+    sel_variables = list(selection.variables)
+  missing = [v for v in sel_variables if v not in dataset]
+  if missing:
+    # the reference's `dataset[sel_variables]` raises on missing names —
+    # silently dropping them would hide typos and produce asymmetric
+    # forecast/truth variable sets (reference evaluation.py:151)
+    raise KeyError(
+        f"selection variables {missing} not found in dataset with "
+        f"variables {sorted(dataset.keys())}"
+    )
+  dataset = dataset[sel_variables]
   dataset = dataset.sel(
       latitude=selection.lat_slice, longitude=selection.lon_slice
   )
@@ -368,6 +375,44 @@ def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
       if cn != dim and cn not in coord_pool:
         coord_pool[cn] = cv
 
+  # per-dim union of coordinate VALUES: metrics may share a dim name with
+  # different labels (e.g. ensemble vs gaussian thresholds emitting
+  # different 'quantile' sets) — each metric's rows are reindexed onto
+  # the union with NaN fill, like xarray's outer join
+  union_coord_vals: dict = {}
+  for ds in results:
+    for cn, cv in ds.coords_dict().items():
+      if cn == dim or cv.dims != (cn,):
+        continue
+      vals = np.asarray(cv.data)
+      if cn not in union_coord_vals:
+        union_coord_vals[cn] = vals
+      elif not (
+          len(union_coord_vals[cn]) == len(vals)
+          and np.array_equal(union_coord_vals[cn], vals)
+      ):
+        merged = list(union_coord_vals[cn])
+        for x in vals.tolist():
+          if x not in merged:
+            merged.append(x)
+        union_coord_vals[cn] = np.asarray(merged, dtype=vals.dtype)
+
+  def _reindex_axis(arr, axis, src_vals, dst_vals):
+    if len(src_vals) == len(dst_vals) and np.array_equal(
+        src_vals, dst_vals
+    ):
+      return arr
+    shape = list(arr.shape)
+    shape[axis] = len(dst_vals)
+    out_arr = np.full(shape, np.nan)
+    dst_list = dst_vals.tolist()
+    pos = np.asarray([dst_list.index(x) for x in src_vals.tolist()])
+    key = tuple(
+        pos if a == axis else slice(None) for a in range(arr.ndim)
+    )
+    out_arr[key] = arr
+    return out_arr
+
   for var in var_names:
     # union dims (excluding metric) in first-appearance order
     union_dims: list = []
@@ -384,7 +429,11 @@ def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
           continue
         if d not in union_dims:
           union_dims.append(d)
-          sizes[d] = da.sizes[d]
+          sizes[d] = (
+              len(union_coord_vals[d])
+              if d in union_coord_vals
+              else da.sizes[d]
+          )
     full_shape = tuple(sizes[d] for d in union_dims)
     pieces = []
     for ds, da in holders:
@@ -399,19 +448,29 @@ def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
         vals = np.asarray(xds.core._to_numpy(da.data), dtype=np.float64)
       else:
         vals = np.asarray(da.values, dtype=np.float64)[None]
+      da_dims = tuple(d for d in da.dims if d != dim)
+      # reindex axes whose coord labels differ from the union
+      ds_coords = ds.coords_dict()
+      for ax, d in enumerate(da_dims):
+        if d in union_coord_vals and d in ds_coords:
+          vals = _reindex_axis(
+              vals, ax + 1, np.asarray(ds_coords[d].data),
+              union_coord_vals[d],
+          )
       # broadcast up to union dims
-      v = xds.Variable((dim,) + tuple(d for d in da.dims if d != dim),
-                       vals)
+      v = xds.Variable((dim,) + da_dims, vals)
       v = v.broadcast_to_dims((dim,) + tuple(union_dims),
                               {dim: n_metric, **sizes})
       pieces.append(np.asarray(v.data))
     data = np.concatenate(pieces, axis=0)
     coords = {dim: np.asarray(metric_names, dtype=object)}
     for d in union_dims:
-      if d in coord_pool:
+      if d in union_coord_vals:
+        coords[d] = xds.Variable((d,), union_coord_vals[d])
+      elif d in coord_pool:
         coords[d] = coord_pool[d]
     for cn, cv in coord_pool.items():
-      if cv.dims and set(cv.dims) <= set(union_dims):
+      if cv.dims and set(cv.dims) <= set(union_dims) and cn not in coords:
         coords[cn] = cv
     out[var] = xds.DataArray(
         data, dims=(dim,) + tuple(union_dims), coords=coords
@@ -478,13 +537,9 @@ def _build_baseline_forecast(
     sel = dict(dayofyear=forecast[time_dim].dt.dayofyear)
     if "hour" in climatology.sizes:
       sel["hour"] = forecast[time_dim].dt.hour
-    clim = climatology
-    missing = [n for n in names if n not in clim]
-    if missing:
-      rename = {n + "_mean": n for n in names if n + "_mean" in clim}
-      clim = clim[list(rename.keys())].rename(rename)
-    else:
-      clim = clim[names]
+    from weatherbench2_tpu import metrics as metrics_lib
+
+    clim = metrics_lib.select_climatology_variables(climatology, names)
     new_forecast = clim.sel(sel)
     # keep forecast coords (valid_time etc.)
     for cn, cv in forecast.coords_dict().items():

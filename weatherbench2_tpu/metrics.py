@@ -68,22 +68,42 @@ def get_lat_weights(ds) -> xds.DataArray:
                        coords={"latitude": lat}, name="latitude")
 
 
+def select_climatology_variables(
+    climatology: xds.Dataset, names
+) -> xds.Dataset:
+  """Select `names` from a climatology, accepting '<name>_mean' forms.
+
+  The single resolver for every climatology consumer (ACC preparation,
+  baseline substitution in both engines) — per-name, so bare and
+  '_mean'-suffixed variables may be mixed in one store.  Raises KeyError
+  when a name exists in neither form.
+  """
+  names = list(names)
+  src = []
+  rename = {}
+  missing = []
+  for n in names:
+    if n in climatology:
+      src.append(n)
+    elif f"{n}_mean" in climatology:
+      src.append(f"{n}_mean")
+      rename[f"{n}_mean"] = n
+    else:
+      missing.append(n)
+  if missing:
+    raise KeyError(
+        f"climatology is missing variables {missing} (neither bare "
+        "names nor their '_mean'-suffixed forms are present)"
+    )
+  out = climatology[src]
+  return out.rename(rename) if rename else out
+
+
 def _get_climatology_chunk(
     climatology: xds.Dataset, truth: xds.Dataset
 ) -> xds.Dataset:
   """The climatological mean of the observed true variables."""
-  names = list(truth.keys())
-  if all(k in climatology for k in names):
-    return climatology[names]
-  clim_var_dict = {str(key) + "_mean": key for key in names}
-  not_found = set(names).difference(climatology.keys())
-  not_found_means = set(clim_var_dict).difference(climatology.keys())
-  if not_found and not_found_means:
-    raise KeyError(
-        f"climatology is missing variables {not_found} (neither bare "
-        "names nor their '_mean'-suffixed forms are present)"
-    )
-  return climatology[list(clim_var_dict.keys())].rename(clim_var_dict)
+  return select_climatology_variables(climatology, truth.keys())
 
 
 @dataclasses.dataclass
@@ -426,6 +446,47 @@ class ACC(Metric):
 
   climatology: xds.Dataset
 
+  @staticmethod
+  def _validated_positions(coord_vals, wanted, what):
+    """Exact positions of `wanted` in sorted `coord_vals`, or raise.
+
+    Raw searchsorted would silently select the NEXT row for labels not in
+    the climatology (and clamp out-of-range gathers under jit) — the
+    reference's `.sel` raises KeyError instead (reference
+    metrics.py:398-404)."""
+    wanted = np.asarray(wanted)
+    pos = np.searchsorted(coord_vals, wanted)
+    clipped = np.minimum(pos, len(coord_vals) - 1)
+    bad = coord_vals[clipped] != wanted
+    if np.any(bad):
+      raise KeyError(
+          f"forecast {what} values {np.unique(wanted[bad])!r} not found "
+          f"in the climatology {what} coordinate"
+      )
+    return clipped.astype(np.int32)
+
+  def _gather_indices(self, forecast, hour_vals):
+    """(dayofyear[, hour]) gather indices for a chunk's valid times."""
+    time_dim = "valid_time" if "init_time" in forecast.sizes else "time"
+    doy_vals = np.asarray(
+        self.climatology.coords_dict()["dayofyear"].data
+    )
+    dims = forecast[time_dim].dims
+    indices = {"doy": xds.DataArray(
+        self._validated_positions(
+            doy_vals, forecast[time_dim].dt.dayofyear.values, "dayofyear"
+        ),
+        dims=dims,
+    )}
+    if hour_vals is not None:
+      indices["hour"] = xds.DataArray(
+          self._validated_positions(
+              hour_vals, forecast[time_dim].dt.hour.values, "hour"
+          ),
+          dims=dims,
+      )
+    return indices
+
   def prepare_chunk(self, forecast, truth):
     """Index-based preparation: the climatology stays resident on device;
     only small (dayofyear, hour) gather indices are built per chunk.
@@ -442,26 +503,11 @@ class ACC(Metric):
     )
     cached = getattr(self, "_clim_device_cache", None)
     if cached is not None and cached[0] == cache_key:
-      clim = cached[1]
-      # indices still need per-chunk computation below
-      time_dim = "valid_time" if "init_time" in forecast.sizes else "time"
-      doy_vals = np.asarray(
-          self.climatology.coords_dict()["dayofyear"].data
-      )
-      indices = {"doy": xds.DataArray(
-          np.searchsorted(
-              doy_vals, forecast[time_dim].dt.dayofyear.values
-          ).astype(np.int32),
-          dims=forecast[time_dim].dims,
-      )}
-      if cached[2] is not None:
-        indices["hour"] = xds.DataArray(
-            np.searchsorted(
-                cached[2], forecast[time_dim].dt.hour.values
-            ).astype(np.int32),
-            dims=forecast[time_dim].dims,
-        )
-      return {"clim": clim, "indices": indices}
+      clim, hour_vals = cached[1], cached[2]
+      return {
+          "clim": clim,
+          "indices": self._gather_indices(forecast, hour_vals),
+      }
 
     clim = _get_climatology_chunk(self.climatology, truth)
     if "level" in forecast.sizes and "level" in clim.sizes:
@@ -472,10 +518,6 @@ class ACC(Metric):
           np.asarray(forecast["level"].values)
       )
       clim = clim.isel(level=lev_pos)
-    time_dim = "valid_time" if "init_time" in forecast.sizes else "time"
-    doy_vals = np.asarray(
-        self.climatology.coords_dict()["dayofyear"].data
-    )
     # strip the gathered-dim coords: under jit the gather indices are
     # traced, and host-side coord arrays cannot be indexed by tracers
     hour_coord = clim.coords_dict().get("hour")
@@ -487,32 +529,19 @@ class ACC(Metric):
             if not (set(v.dims) & {"dayofyear", "hour"})
         },
     )
-    if hour_coord is not None:
-      has_hour = True
-    else:
-      has_hour = False
-    doy_pos = np.searchsorted(
-        doy_vals, forecast[time_dim].dt.dayofyear.values
+    hour_vals = (
+        np.asarray(hour_coord.data) if hour_coord is not None else None
     )
-    indices = {"doy": xds.DataArray(
-        doy_pos.astype(np.int32),
-        dims=forecast[time_dim].dims,
-    )}
-    hour_vals = np.asarray(hour_coord.data) if has_hour else None
-    if has_hour:
-      hour_pos = np.searchsorted(
-          hour_vals, forecast[time_dim].dt.hour.values
-      )
-      indices["hour"] = xds.DataArray(
-          hour_pos.astype(np.int32), dims=forecast[time_dim].dims
-      )
     # move the climatology to device once and reuse it for all chunks
     try:
       clim = clim.to_jax()
     except Exception:  # pragma: no cover - jax unavailable
       pass
     self._clim_device_cache = (cache_key, clim, hour_vals)
-    return {"clim": clim, "indices": indices}
+    return {
+        "clim": clim,
+        "indices": self._gather_indices(forecast, hour_vals),
+    }
 
   def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
                              skipna=False):
@@ -534,7 +563,14 @@ class ACC(Metric):
   supports_pointwise_fused: t.ClassVar[bool] = True
 
   def pointwise_chunk(self, forecast, truth, prepared, skipna):
-    """Three stacked anomaly products: fa*ta, fa^2, ta^2 (dim __fstat)."""
+    """Three stacked anomaly products: fa*ta, fa^2, ta^2 (dim __fstat).
+
+    The products can differ in dims (e.g. the truth anomaly has no
+    lead_time under the by-valid convention), so each variable's three
+    fields are broadcast to their union dims before stacking — the
+    regional mean of a broadcast field equals the broadcast of the mean,
+    matching the reference's three independent `_spatial_average` calls.
+    """
     del skipna
     clim = prepared["clim"]
     indices = prepared["indices"]
@@ -544,14 +580,26 @@ class ACC(Metric):
     climatology_chunk = clim.isel(sel)
     fa = forecast - climatology_chunk
     ta = truth - climatology_chunk
-    return xds.concat(
-        [
-            (fa * ta).expand_dims(__fstat=[0]),
-            (fa * fa).expand_dims(__fstat=[1]),
-            (ta * ta).expand_dims(__fstat=[2]),
-        ],
-        "__fstat",
-    )
+    num = fa * ta
+    fsq = fa * fa
+    tsq = ta * ta
+    out = xds.Dataset({}, coords={
+        k: v for k, v in num.coords_dict().items()
+    })
+    for name in num.keys():
+      vs = [
+          num.variables_dict()[name],
+          fsq.variables_dict()[name],
+          tsq.variables_dict()[name],
+      ]
+      dims = xds.broadcast_dims_order(*(v.dims for v in vs))
+      sizes: dict = {}
+      for v in vs:
+        sizes.update(v.sizes)
+      xp = _xp(*(v.data for v in vs))
+      arrs = [v.broadcast_to_dims(dims, sizes, xp=xp).data for v in vs]
+      out[name] = xds.Variable(("__fstat",) + dims, xp.stack(arrs))
+    return out
 
   def finalize_fused(self, means, skipna=False):
     del skipna

@@ -131,11 +131,18 @@ def _to_device(obj, sharding_fn=None):
 
 @dataclasses.dataclass
 class StreamingState:
-  """Checkpointable accumulator state for a streaming evaluation."""
+  """Checkpointable accumulator state for a streaming evaluation.
+
+  ``chunk_size``/``total`` fingerprint the chunking the state was taken
+  under: chunk_index counts CHUNKS, so resuming with a different chunk
+  size would silently skip the wrong time range.
+  """
 
   sums: Any = None
   counts: Any = None
   chunk_index: int = 0
+  chunk_size: Optional[int] = None
+  total: Optional[int] = None
 
   def save(self, path: str) -> None:
     import jax
@@ -144,7 +151,8 @@ class StreamingState:
     with open(path, "wb") as f:
       pickle.dump(
           {"sums": host[0], "counts": host[1],
-           "chunk_index": self.chunk_index},
+           "chunk_index": self.chunk_index,
+           "chunk_size": self.chunk_size, "total": self.total},
           f,
       )
 
@@ -153,7 +161,8 @@ class StreamingState:
     with open(path, "rb") as f:
       d = pickle.load(f)
     return cls(sums=d["sums"], counts=d["counts"],
-               chunk_index=d["chunk_index"])
+               chunk_index=d["chunk_index"],
+               chunk_size=d.get("chunk_size"), total=d.get("total"))
 
 
 def _region_weight_setup(regions, forecast):
@@ -196,7 +205,17 @@ def _use_pallas_default() -> bool:
 
 
 def _det_stat_of(metric):
-  """Stat name in the 6-stat fused deterministic kernel, or None."""
+  """Stat name in the fused deterministic kernel, or None.
+
+  ACC is deliberately NOT routed here: the kernel shares one NaN mask
+  (isnan(f)|isnan(t)|isnan(clim)) across all stats, which (a) would let
+  climatology NaNs poison MSE/Bias/MAE results that must not depend on
+  the climatology, and (b) supports only one climatology per plan. ACC
+  rides the pointwise tier instead, where each of its three anomaly
+  products carries its own per-cell NaN accounting — exactly the
+  reference's three independent `_spatial_average` masks
+  (reference metrics.py:378-414).
+  """
   from weatherbench2_tpu import metrics as m
 
   if type(metric) is m.MSE and not metric.wind_vector_mse:
@@ -209,8 +228,6 @@ def _det_stat_of(metric):
       not metric.wind_vector_rmse
   ):
     return "rmse"
-  if type(metric) is m.ACC:
-    return "acc"
   return None
 
 
@@ -343,7 +360,12 @@ def _fused_chunk_results(plan, f_c, t_c, prepared, skipna):
       )
       for name in plan["stat_of"]
   }
+  # variable intersection: the forecast may carry aux-only variables
+  # (e.g. '<var>_std') that truth lacks, and vice versa — the generic
+  # path scores common variables only (xds binop semantics)
   for v in f_c.keys():
+    if v not in t_c.keys():
+      continue
     fvar = f_c.variables_dict()[v]
     tvar = t_c.variables_dict()[v]
     operands = [fvar, tvar]
@@ -417,6 +439,8 @@ def _fused_prob_chunk_results(plan, f_c, t_c, skipna):
       for name in plan["stat_of"]
   }
   for v in t_c.keys():
+    if v not in f_c.keys():
+      continue  # score common variables only (xds binop semantics)
     fvar = f_c.variables_dict()[v]
     tvar = t_c.variables_dict()[v]
     all_dims = xds.broadcast_dims_order(
@@ -804,6 +828,10 @@ def evaluate_streaming_multi(
   else:
     chunk_size = _auto_chunk_size(forecast, chunk_dim, batch)
   chunk_size = max(chunk_size, batch)
+  if batch > 1:
+    # batch-sharded device_put needs an evenly divisible chunk axis
+    # (ragged trailing chunks are zero-padded to chunk_size separately)
+    chunk_size = -(-chunk_size // batch) * batch
 
   lead_chunk = int(input_chunks.get("lead_time", 0)) or None
   if lead_chunk and lead_chunk < forecast.sizes.get("lead_time", 0):
@@ -986,6 +1014,22 @@ def evaluate_streaming_multi(
   # ---- chunk loop ----------------------------------------------------------
   if state is None:
     state = StreamingState()
+  if state.chunk_index:
+    # chunk_index counts chunks: resuming under a different chunk size
+    # would silently skip the wrong time range (a different TOTAL is
+    # fine — e.g. a partial-slice run resumed over the full range — as
+    # long as the chunk grid lines up from the start)
+    if state.chunk_size is not None and state.chunk_size != chunk_size:
+      raise ValueError(
+          f"checkpoint was taken with chunk_size={state.chunk_size} but "
+          f"this run uses chunk_size={chunk_size}; pass the same "
+          "--input_chunks to resume"
+      )
+    if state.chunk_index * chunk_size > total:
+      raise ValueError(
+          f"checkpoint covers {state.chunk_index} chunks of "
+          f"{chunk_size} but this run has only {total} entries"
+      )
   nontemporal_results = {c: [] for c in eval_configs}
 
   def _prepare_one(ci, sl, lead_sl):
@@ -1131,7 +1175,8 @@ def evaluate_streaming_multi(
         ):
           only = next(iter(eval_configs))
           StreamingState(
-              sums_acc[only], counts_acc[only], ci + 1
+              sums_acc[only], counts_acc[only], ci + 1,
+              chunk_size=chunk_size, total=total,
           ).save(checkpoint_path)
     finally:
       pool.shutdown(wait=True)
@@ -1251,14 +1296,11 @@ def _make_truth_chunk(
 
   # baseline forecast substitution (climatology / prob-clim / persistence)
   if eval_config.evaluate_climatology and climatology is not None:
+    from weatherbench2_tpu import metrics as metrics_lib
+
     time_dim = "valid_time" if by_init else "time"
     names = list(f_chunk.keys())
-    clim = climatology
-    if not all(n in clim for n in names):
-      rename = {n + "_mean": n for n in names if n + "_mean" in clim}
-      clim = clim[list(rename.keys())].rename(rename)
-    else:
-      clim = clim[names]
+    clim = metrics_lib.select_climatology_variables(climatology, names)
     sel = dict(dayofyear=f_chunk[time_dim].dt.dayofyear)
     if "hour" in climatology.sizes:
       sel["hour"] = f_chunk[time_dim].dt.hour

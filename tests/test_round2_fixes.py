@@ -1,0 +1,164 @@
+"""Regression tests for the round-2 utils/visualization/thresholds
+review findings: weighted-quantile axis moves, NaN-aware fast
+climatology paths, empty resample bins, valid_time thresholds, and
+reference plot semantics (x1000 units, spread&skill synthesis).
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from weatherbench2_tpu import schema, thresholds, utils, xds
+
+
+def test_weighted_quantile_full_weights_nonlast_axis():
+  rng = np.random.default_rng(0)
+  values = rng.standard_normal((7, 4, 3))
+  weights = rng.uniform(0.5, 2.0, size=values.shape)
+  got = utils.weighted_quantile(values, 0.5, weights, axis=0)
+  want = utils.weighted_quantile(
+      np.moveaxis(values, 0, -1), 0.5, np.moveaxis(weights, 0, -1),
+      axis=-1,
+  )
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # square shapes silently misaligned before the fix
+  sq = rng.standard_normal((5, 5))
+  wsq = rng.uniform(0.5, 2.0, size=(5, 5))
+  got_sq = utils.weighted_quantile(sq, 0.5, wsq, axis=0)
+  want_sq = utils.weighted_quantile(sq.T, 0.5, wsq.T, axis=-1)
+  np.testing.assert_allclose(got_sq, want_sq, rtol=1e-12)
+
+
+def _nan_obs():
+  ds = utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[], variables_2d=["2m_temperature"],
+          time_start="2019-01-01", time_stop="2021-01-01",
+          time_resolution="6 hours",
+          spatial_resolution_in_degrees=60.0,
+      ),
+      seed=3,
+  )
+  vals = np.asarray(ds["2m_temperature"].values).copy()
+  vals[5, 0, 0] = np.nan  # one missing slot at one pixel
+  ds["2m_temperature"] = xds.Variable(ds["2m_temperature"].dims, vals)
+  return ds
+
+
+def test_fast_climatology_paths_skip_nan():
+  obs = _nan_obs()
+  daily = utils.resample_daily_mean(obs)
+  # the day with one missing 6-hour slot still has a finite mean
+  assert np.isfinite(daily["2m_temperature"].values).all()
+
+  mean_fast = utils.compute_daily_climatology_mean(
+      obs, window_size=15, clim_years=slice("2019", "2020")
+  )
+  std_fast = utils.compute_daily_climatology_std(
+      obs, window_size=15, clim_years=slice("2019", "2020")
+  )
+  assert np.isfinite(mean_fast["2m_temperature"].values).all()
+  assert np.isfinite(std_fast["2m_temperature"].values).all()
+
+
+def test_resample_emits_empty_bins_as_nan():
+  times = np.concatenate([
+      pd.date_range("2020-01-01", periods=12, freq="2h").values,
+      pd.date_range("2020-01-05", periods=12, freq="2h").values,
+  ])
+  label_times, starts, ends = utils.resample_time_plan(times, "1 day")
+  assert len(label_times) == 5  # Jan 1..5, including the empty gap days
+  assert (ends - starts).tolist() == [12, 0, 0, 0, 12]
+  ds = xds.Dataset(
+      {"x": xds.Variable(("time",), np.arange(len(times), dtype=float))},
+      coords={"time": times},
+  )
+  out = utils.reduce_time_bins(ds, starts, ends, label_times, "mean")
+  vals = out["x"].values
+  assert np.isfinite(vals[[0, 4]]).all()
+  assert np.isnan(vals[1:4]).all()
+
+
+def test_threshold_on_valid_time_truth():
+  clim = schema.mock_hourly_climatology_data(
+      hour_interval=6, variables_3d=[], variables_2d=["2m_temperature"],
+      spatial_resolution_in_degrees=60.0,
+  )
+  base = clim["2m_temperature"]
+  qvals = np.stack([np.full(base.shape, 0.5)]).astype(np.float32)
+  qclim = xds.Dataset(
+      {"2m_temperature_quantile": xds.Variable(
+          ("quantile",) + base.dims, qvals)},
+      coords={**clim.coords_dict(), "quantile": np.array([0.5])},
+  )
+  fc = schema.mock_forecast_data(
+      variables_3d=[], variables_2d=["2m_temperature"],
+      time_start="2020-01-01", time_stop="2020-01-03",
+      lead_stop="1 day", spatial_resolution_in_degrees=60.0,
+  )
+  fc = schema.apply_time_conventions(fc, by_init=True)
+  truth = schema.mock_truth_data(
+      variables_3d=[], variables_2d=["2m_temperature"],
+      time_start="2020-01-01", time_stop="2020-01-05",
+      spatial_resolution_in_degrees=60.0,
+  ).sel(time=fc["valid_time"])
+  # truth is valid_time-keyed (no 'time' dim): must not KeyError
+  thr = thresholds.QuantileThreshold(climatology=qclim, quantile=0.5)
+  out = thr.compute(truth)
+  assert "2m_temperature" in out.keys()
+
+
+def test_plot_timeseries_scales_precip_and_synthesizes_spread_skill():
+  import matplotlib
+
+  matplotlib.use("Agg")
+  from weatherbench2_tpu import visualization
+
+  lead = np.array([0, 24, 48], dtype="timedelta64[h]").astype(
+      "timedelta64[ns]"
+  )
+  res = xds.Dataset(
+      {
+          "total_precipitation_24hr": xds.Variable(
+              ("metric", "lead_time"), [[0.001, 0.002, 0.003]]
+          )
+      },
+      coords={
+          "metric": np.asarray(["rmse"], dtype=object),
+          "lead_time": lead,
+      },
+  )
+  ax = visualization.plot_timeseries(
+      {"model": res}, metric="rmse", variable="total_precipitation_24hr"
+  )
+  ydata = ax.lines[0].get_ydata()
+  np.testing.assert_allclose(ydata, [1.0, 2.0, 3.0])  # meters -> mm
+
+  ens = xds.Dataset(
+      {
+          "2m_temperature": xds.Variable(
+              ("metric", "lead_time"),
+              [[1.0, 2.0, 3.0], [0.5, 1.5, 2.5]],
+          )
+      },
+      coords={
+          "metric": np.asarray(
+              ["ensemble_mean_rmse", "ensemble_stddev"], dtype=object
+          ),
+          "lead_time": lead,
+      },
+  )
+  ax2 = visualization.plot_timeseries(
+      {"ens": ens}, metric="spread&skill", variable="2m_temperature"
+  )
+  assert len(ax2.lines) == 2  # skill solid + spread dashed
+  np.testing.assert_allclose(ax2.lines[0].get_ydata(), [1.0, 2.0, 3.0])
+  np.testing.assert_allclose(ax2.lines[1].get_ydata(), [0.5, 1.5, 2.5])
+
+  ax3 = visualization.plot_timeseries(
+      {"ens": ens}, metric="spread/skill", variable="2m_temperature"
+  )
+  # ratio line (plus the axhline at 1)
+  ratio = [l for l in ax3.lines if len(l.get_ydata()) == 3][0]
+  got = np.asarray(ratio.get_ydata(), dtype=float)
+  np.testing.assert_allclose(got[1:], [0.75, 2.5 / 3.0])
+  assert np.isnan(got[0])  # lead 0 masked

@@ -335,20 +335,16 @@ class Regridder:
       other = [d for d in da.dims if d not in ("longitude", "latitude")]
       arranged = da.transpose(*(other + ["longitude", "latitude"]))
       result = self.regrid_array(arranged.data)
-      out[name] = xds.Variable(
+      result_var = xds.Variable(
           tuple(other) + ("longitude", "latitude"), result, da.attrs
       )
-      out[name] = out[name].transpose(*da.dims) if tuple(
-          out[name].dims
-      ) != da.dims else out[name]
-    # restore original dim order per variable
-    final = xds.Dataset({}, coords=dict(out.coords_dict()),
-                        attrs=dataset.attrs)
-    for name in dataset.keys():
-      da = out[name]
-      want = dataset[name].dims
-      final[name] = da.transpose(*want) if tuple(da.dims) != want else da
-    return final
+      # restore the variable's original dim order
+      out[name] = (
+          result_var.transpose(*da.dims)
+          if tuple(result_var.dims) != tuple(da.dims)
+          else result_var
+      )
+    return out
 
 
 class NearestRegridder(Regridder):

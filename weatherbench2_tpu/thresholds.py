@@ -74,7 +74,7 @@ def _select_climatology_at_times(
   climatology_chunk = climatology
   if "level" in truth.sizes and "level" in climatology.sizes:
     climatology_chunk = climatology_chunk.sel(level=truth["level"].values)
-  time_selection = dict(dayofyear=truth["time"].dt.dayofyear)
+  time_selection = dict(dayofyear=truth[time_dim].dt.dayofyear)
   if "hour" in climatology_chunk.sizes:
     time_selection["hour"] = truth[time_dim].dt.hour
   return climatology_chunk.sel(time_selection)

@@ -14,6 +14,7 @@ equally valid on numpy for host-side tests.
 """
 import functools
 from typing import Callable, Union
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -149,10 +150,14 @@ def weighted_quantile(
     if fast is not None:
       return fast
   q = np.atleast_1d(np.asarray(q, dtype=np.float64))
-  values = np.moveaxis(np.asarray(values, dtype=np.float64), axis, -1)
-  w = np.broadcast_to(
-      np.asarray(weights, dtype=np.float64), values.shape
-  ).copy()
+  values_arr = np.asarray(values, dtype=np.float64)
+  weights_arr = np.asarray(weights, dtype=np.float64)
+  if weights_arr.ndim == values_arr.ndim:
+    # full-shape weights must follow the same axis move as the values
+    # (broadcasting a transposed weight array can silently misalign)
+    weights_arr = np.moveaxis(weights_arr, axis, -1)
+  values = np.moveaxis(values_arr, axis, -1)
+  w = np.broadcast_to(weights_arr, values.shape).copy()
   if skipna:
     nan = np.isnan(values)
     w = np.where(nan, 0.0, w)
@@ -233,39 +238,21 @@ def compute_rolling_stat(
   if callable(stat_fn):
     stacked = build_stacked_windows(ds, window_weights)
     return stat_fn(stacked, weights=window_weights, dim=("window", "year"))
+  # string stats ride the same stacked-window builder as the callable
+  # path, so the year-stacking/leap-fill semantics cannot diverge
   window_size = len(window_weights.values)
-  years = np.unique(ds["time"].dt.year.values)
-  per_year = [
-      replace_time_with_doy(ds.sel(time=str(y))) for y in years
-  ]
-  all_doys = np.array(sorted(
-      set(np.concatenate([
-          d.coords_dict()["dayofyear"].data for d in per_year
-      ]).tolist())
-  ))
-  stacked = xds.concat(
-      [
-          reindex_with_nan(d, "dayofyear", all_doys).expand_dims(year=[y])
-          for d, y in zip(per_year, years)
-      ],
-      "year",
-  )
-  # Fill gap day (366) with values from previous day 365
-  doys = stacked.coords_dict()["dayofyear"].data
-  if 366 in doys and 365 in doys:
-    stacked = stacked.fillna(stacked.sel(dayofyear=365))
+  stacked_win = build_stacked_windows(ds, window_weights)
 
   w = window_weights.values
 
   out = xds.Dataset({}, coords={
-      k: v for k, v in stacked.coords_dict().items() if k != "year"
+      k: v for k, v in stacked_win.coords_dict().items()
+      if k not in ("year", "window")
   })
-  for name in stacked.keys():
-    da = stacked[name]
-    ax = da.dims.index("dayofyear")
+  for name in stacked_win.keys():
+    da = stacked_win[name]
     yax = da.dims.index("year")
-    vals = np.asarray(da.values, dtype=np.float64)
-    windows = _windowed_stack(vals, ax, window_size)  # window axis appended
+    windows = np.asarray(da.values, dtype=np.float64)  # window axis last
     shape = [1] * windows.ndim
     shape[-1] = window_size
     wb = w.reshape(shape)
@@ -283,12 +270,12 @@ def compute_rolling_stat(
       result = np.sqrt((dev * wmask).sum(axis=red_axes) / sum_w)
     else:
       raise NotImplementedError(f"stat {stat_fn!r} not implemented")
-    dims = tuple(d for d in da.dims if d != "year")
+    dims = tuple(d for d in da.dims if d not in ("year", "window"))
     result_da = xds.DataArray(
         result, dims=dims,
         coords={
-            k: v for k, v in stacked.coords_dict().items()
-            if set(v.dims) <= set(dims)
+            k: v for k, v in stacked_win.coords_dict().items()
+            if v.dims and set(v.dims) <= set(dims)
         },
     )
     out[name] = result_da
@@ -306,13 +293,17 @@ def resample_daily_mean(ds: xds.Dataset) -> xds.Dataset:
     da = ds[name]
     ax = da.dims.index("time")
     vals = np.asarray(da.values, dtype=np.float64)
-    sums = np.zeros((len(unique_days),) + vals.shape[:ax] + vals.shape[
-        ax + 1:])
-    counts = np.zeros(len(unique_days))
     moved = np.moveaxis(vals, ax, 0)
-    np.add.at(sums, inverse, moved)
-    np.add.at(counts, inverse, 1)
-    mean = sums / counts.reshape((-1,) + (1,) * (sums.ndim - 1))
+    # NaN-aware per-cell accumulation (xarray's resample().mean() skips
+    # NaN by default; a plain sum would blank the whole day)
+    valid = ~np.isnan(moved)
+    sums = np.zeros((len(unique_days),) + moved.shape[1:])
+    counts = np.zeros_like(sums)
+    np.add.at(sums, inverse, np.where(valid, moved, 0.0))
+    np.add.at(counts, inverse, valid.astype(np.float64))
+    with np.errstate(invalid="ignore", divide="ignore"):
+      mean = sums / counts
+    mean[counts == 0] = np.nan
     mean = np.moveaxis(mean, 0, ax)
     out[name] = xds.DataArray(mean, dims=da.dims)
   out = out.assign_coords(time=unique_days)
@@ -366,9 +357,19 @@ def smooth_dayofyear_variable_with_rolling_window(
     ax = da.dims.index("dayofyear")
     vals = np.asarray(da.values, dtype=np.float64)
     acc = np.zeros_like(vals)
+    count = np.zeros_like(vals)
     for i in range(-half_window, window_size - half_window):
-      acc += np.roll(vals, i, axis=ax) * w[i + half_window]
-    out[name] = xds.DataArray(acc / window_size, dims=da.dims)
+      rolled = np.roll(vals, i, axis=ax)
+      valid = ~np.isnan(rolled)
+      acc += np.where(valid, rolled, 0.0) * w[i + half_window]
+      count += valid
+    # NaN-aware exactly like the reference's stacked .mean('stack')
+    # (xarray skipna: sum of remaining weighted terms / VALID count,
+    # reference utils.py:169-197)
+    with np.errstate(invalid="ignore", divide="ignore"):
+      mean = acc / count
+    mean[count == 0] = np.nan
+    out[name] = xds.DataArray(mean, dims=da.dims)
   return out
 
 
@@ -384,12 +385,15 @@ def _groupby_dayofyear(ds: xds.Dataset, stat: str) -> xds.Dataset:
     ax = da.dims.index("time")
     vals = np.moveaxis(np.asarray(da.values, dtype=np.float64), ax, 0)
     groups = [vals[inverse == i] for i in range(len(unique_doy))]
-    if stat == "mean":
-      red = np.stack([g.mean(axis=0) for g in groups])
-    elif stat == "std":
-      red = np.stack([g.std(axis=0, ddof=0) for g in groups])
-    else:
-      raise NotImplementedError(stat)
+    # NaN-aware like xarray's groupby reductions (skipna=True default)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+      warnings.simplefilter("ignore", category=RuntimeWarning)
+      if stat == "mean":
+        red = np.stack([np.nanmean(g, axis=0) for g in groups])
+      elif stat == "std":
+        red = np.stack([np.nanstd(g, axis=0, ddof=0) for g in groups])
+      else:
+        raise NotImplementedError(stat)
     red = np.moveaxis(red, 0, ax)
     dims = tuple("dayofyear" if d == "time" else d for d in da.dims)
     out[name] = xds.DataArray(red, dims=dims)
@@ -544,9 +548,25 @@ def resample_time_plan(times, period, label: str = "left",
     bins = -((-offs) // period64)  # ceil: (T-period, T] -> bin index
   else:
     raise ValueError(f"Unhandled {label=}")
-  # times sorted ascending => bins nondecreasing => contiguous ranges
-  labels_idx, starts = np.unique(bins, return_index=True)
-  ends = np.append(starts[1:], len(times))
+  # times sorted ascending => bins nondecreasing => contiguous ranges.
+  # Emit EVERY bin in [min, max], including empty ones (reduced to NaN
+  # rows downstream) — pandas/xarray resample keeps a regular output
+  # axis across input gaps.
+  occupied, occ_starts = np.unique(bins, return_index=True)
+  occ_ends = np.append(occ_starts[1:], len(times))
+  lo, hi = int(occupied[0]), int(occupied[-1])
+  labels_idx = np.arange(lo, hi + 1)
+  starts = np.zeros(len(labels_idx), dtype=np.int64)
+  ends = np.zeros(len(labels_idx), dtype=np.int64)
+  pos = {int(b): i for i, b in enumerate(occupied)}
+  cursor = 0
+  for i, b in enumerate(labels_idx):
+    j = pos.get(int(b))
+    if j is None:
+      starts[i] = ends[i] = cursor  # empty bin
+    else:
+      starts[i], ends[i] = occ_starts[j], occ_ends[j]
+      cursor = occ_ends[j]
   label_times = np.datetime64(origin_ts) + labels_idx * period64
   if label == "right":
     # first (incomplete-from-the-left) bin is dropped
@@ -573,8 +593,10 @@ def reduce_time_bins(ds: xds.Dataset, starts, ends, label_times,
       continue
     ax = da.dims.index(time_dim)
     vals = np.moveaxis(np.asarray(da.values), ax, 0)
+    nanrow = np.full(vals.shape[1:], np.nan)
     red = np.stack([
-        fn(vals[s:e], axis=0, **kw) for s, e in zip(starts, ends)
+        fn(vals[s:e], axis=0, **kw) if e > s else nanrow
+        for s, e in zip(starts, ends)
     ]).astype(np.float64)
     out[name] = xds.DataArray(np.moveaxis(red, 0, ax), dims=da.dims)
   return out.assign_coords({time_dim: np.asarray(label_times)})

@@ -105,18 +105,19 @@ def load_results(results_dict: t.Dict[str, t.Any]) -> t.Dict[str, xds.Dataset]:
 
 
 def datetime_to_xticks(lead_time, ax, xlim=None) -> None:
-  """Set day-granularity x ticks for a timedelta lead_time axis."""
+  """Set whole-day x ticks for a lead_time axis plotted in float days
+  (the unit `plot_timeseries` uses for its x data)."""
   values = np.asarray(
       lead_time.data if hasattr(lead_time, "data") else lead_time
   )
-  mx = values.max()
+  days = values.astype("timedelta64[h]").astype(np.float64) / 24.0
+  lo, hi = float(days.min()), float(days.max())
   if xlim is not None:
-    mx = max(np.max(xlim), mx)
-  ns = np.arange(values.min(), mx + 1, np.timedelta64(1, "D"))
-  days = ns.astype("timedelta64[D]")
-  ax.set_xticks(ns.astype(np.int64))
-  ax.set_xticklabels(days.astype(np.int64))
-  ax.set_xlim(values.min(), values.max())
+    lo, hi = float(np.min(xlim)), float(np.max(xlim))
+  ticks = np.arange(np.ceil(lo), np.floor(hi) + 1)
+  ax.set_xticks(ticks)
+  ax.set_xticklabels(ticks.astype(np.int64))
+  ax.set_xlim(lo, hi)
 
 
 def compute_relative_metrics(
@@ -129,9 +130,7 @@ def compute_relative_metrics(
     mask = lead > np.timedelta64(0, "ns")
 
     def apply(da: xds.DataArray, base_da: xds.DataArray):
-      if metric in ("rmse", "seeps", "mse", "crps"):
-        rel = (da - base_da) / base_da * 100
-      elif metric == "acc":
+      if metric == "acc":
         rel = (da - base_da) / (1 - base_da) * 100
       else:
         rel = (da - base_da) / base_da * 100
@@ -211,14 +210,52 @@ def plot_timeseries(
   else:
     plot_results = results
 
+  # reference semantics (reference visualization.py:175-204): synthesized
+  # metrics, x1000 unit conversion for humidity/precip, and baseline
+  # exclusion for relative/ACC/spread-skill panels
+  _SCALE_METRICS = ("crps", "rmse", "spread&skill", "rms_bias")
+  _SCALE_VARS = (
+      "specific_humidity", "total_precipitation_6hr",
+      "total_precipitation_24hr",
+  )
   for name, ds in plot_results.items():
-    panel = config.Panel(
-        metric=metric, variable=variable, level=level, region=region
-    )
+    if (relative is not None or metric in ("acc", "spread/skill")) and (
+        "climatology_" in name or "persistence_" in name
+    ):
+      continue
+    if variable not in ds.keys():
+      continue
+    spread_da = None
     try:
-      da = _select_panel_da(ds, panel)
+      if metric == "spread&skill":
+        da = ds[variable].sel(metric="ensemble_mean_rmse")
+        spread_da = ds[variable].sel(metric="ensemble_stddev")
+      elif metric == "spread/skill":
+        da = compute_spread_skill_ratio(ds[variable])
+        ax.axhline(1, color="k")
+      elif metric == "1-seeps":
+        da = 1 - ds[variable].sel(metric="seeps")
+      else:
+        da = ds[variable].sel(metric=metric)
     except KeyError:
       continue
+
+    def _narrow(d):
+      if region is not None and "region" in d.dims:
+        d = d.sel(region=region)
+      if level is not None and "level" in d.dims:
+        d = d.sel(level=level)
+      if (
+          relative is None
+          and metric in _SCALE_METRICS
+          and variable in _SCALE_VARS
+      ):
+        d = d * 1000.0
+      return d
+
+    da = _narrow(da)
+    if spread_da is not None:
+      spread_da = _narrow(spread_da)
     lead_days = np.asarray(
         da.coords["lead_time"].data, dtype="timedelta64[h]"
     ).astype(np.float64) / 24.0
@@ -233,6 +270,11 @@ def plot_timeseries(
     label = labels.get(name, name) if labels else name
     ax.plot(lead_days, np.asarray(da.values, dtype=np.float64),
             label=label, **kwargs)
+    if spread_da is not None:
+      ax.plot(
+          lead_days, np.asarray(spread_da.values, dtype=np.float64),
+          linestyle="--", color=ax.lines[-1].get_color(),
+      )
 
   short = long2short.get(variable, variable)
   unit = units.get(variable, "")

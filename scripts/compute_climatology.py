@@ -323,6 +323,11 @@ def main(argv) -> None:
 
   # Run one tiny tile to determine the output template structure.
   tile_spec = dict(WORKING_CHUNKS.value)
+  if "time" in tile_spec:
+    # a time tile would compute a partial-period climatology and
+    # overwrite the full output region per tile (the reference raises
+    # the same way, reference compute_climatology.py:295-296)
+    raise ValueError("cannot include 'time' in --working_chunks")
   sizes = obs.sizes
   probe = obs.isel(
       longitude=slice(0, 1), latitude=slice(0, 1)

@@ -127,8 +127,13 @@ def main(argv):
                             stream_chunks=stream_chunks)
   first = True
   for window in xds.iter_windows(template.sizes, stream_chunks):
-    block = ds.isel(window) if window else ds
-    piece = _add_derived(block, to_compute)
+    if not window and not streamed:
+      # nothing is streamed (no time dim): the probe already computed
+      # the whole dataset — don't derive everything a second time
+      piece = probe
+    else:
+      block = ds.isel(window) if window else ds
+      piece = _add_derived(block, to_compute)
     if not first:  # static vars (no streamed dim) are written once
       static = [
           n for n, v in piece.variables_dict().items()

@@ -29,17 +29,25 @@ ORDERS = ("zeroth", "first", "second")
 
 def moment_reduce(da: xds.DataArray, order: str,
                   reduce_dims) -> xds.DataArray:
-  """Raw statistical moment over reduce_dims (zeroth = non-NaN fraction)."""
+  """Raw statistical moment over reduce_dims (zeroth = non-NaN fraction).
+
+  First/second moments skip NaN (the zeroth moment exists precisely to
+  quantify NaN coverage, so NaN input is expected; the reference's
+  xarray means skip them too)."""
+  import warnings
+
   vals = np.asarray(da.values, dtype=np.float64)
   axes = tuple(da.dims.index(d) for d in reduce_dims if d in da.dims)
-  if order == "zeroth":
-    red = (~np.isnan(vals)).mean(axis=axes)
-  elif order == "first":
-    red = vals.mean(axis=axes)
-  elif order == "second":
-    red = np.square(vals).mean(axis=axes)
-  else:
-    raise NotImplementedError(f"Order {order} not implemented.")
+  with warnings.catch_warnings():
+    warnings.simplefilter("ignore", category=RuntimeWarning)
+    if order == "zeroth":
+      red = (~np.isnan(vals)).mean(axis=axes)
+    elif order == "first":
+      red = np.nanmean(vals, axis=axes)
+    elif order == "second":
+      red = np.nanmean(np.square(vals), axis=axes)
+    else:
+      raise NotImplementedError(f"Order {order} not implemented.")
   dims = tuple(d for d in da.dims if d not in reduce_dims)
   return xds.DataArray(red, dims=dims)
 
@@ -53,26 +61,35 @@ def main(argv):
   # tiny (per-var, per-level) running time-sum — the replacement for the
   # reference's per-order Beam branches
   # (/root/reference/scripts/compute_statistical_moments.py:149-186)
-  n = obs.sizes.get("time", 0)
-  block_size = xds.stream.default_block(obs, "time") if n else 0
+  has_time = "time" in obs.sizes
+  n = obs.sizes["time"] if has_time else 1
+  block_size = xds.stream.default_block(obs, "time") if has_time else 1
   acc: dict = {}
   for start in range(0, n, block_size):
-    block = obs.isel(time=slice(start, start + block_size))
+    block = (
+        obs.isel(time=slice(start, start + block_size))
+        if has_time else obs
+    )
     for order in ORDERS:
       for name in block.keys():
         spatial = moment_reduce(block[name], order,
                                 ("longitude", "latitude"))
-        summed = moment_reduce(spatial, "first", ("time",))
-        w = spatial.sizes.get("time", 1)
+        sv = np.asarray(spatial.values, dtype=np.float64)
+        if "time" in spatial.dims:
+          tax = spatial.dims.index("time")
+          valid = ~np.isnan(sv)
+          s = np.where(valid, sv, 0.0).sum(axis=tax)
+          c = valid.sum(axis=tax).astype(np.float64)
+        else:
+          s, c = sv, np.ones_like(sv)
+        dims = tuple(d for d in spatial.dims if d != "time")
         key = (name, order)
         prev = acc.get(key)
-        contrib = (np.asarray(summed.values, dtype=np.float64) * w,
-                   w, summed.dims)
         if prev is None:
-          acc[key] = list(contrib)
+          acc[key] = [s, c, dims]
         else:
-          prev[0] = prev[0] + contrib[0]
-          prev[1] = prev[1] + w
+          prev[0] = prev[0] + s
+          prev[1] = prev[1] + c
 
   out = xds.Dataset({}, coords={
       k: v for k, v in obs.coords_dict().items()
@@ -81,7 +98,8 @@ def main(argv):
   for order in ORDERS:
     for name in obs.keys():
       total, count, dims = acc[(name, order)]
-      temporal = xds.DataArray(total / count, dims=dims)
+      with np.errstate(invalid="ignore", divide="ignore"):
+        temporal = xds.DataArray(total / count, dims=dims)
       out[f"{name}_{order}"] = temporal.expand_dims(moment=1)
   xds.to_zarr(out, OUTPUT_PATH.value)
 

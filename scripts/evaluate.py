@@ -425,11 +425,17 @@ def main(argv) -> None:
   land_sea_mask = None
   lsm_path = LSM_DATASET.value or OBS_PATH.value
   try:
-    lsm_ds = xds.open_zarr(lsm_path)
+    # lazy: probing a (possibly TB-scale) store for one variable must
+    # not read the whole store into host memory
+    lsm_ds = xds.open_zarr(lsm_path, lazy=True)
     if "land_sea_mask" in lsm_ds:
-      land_sea_mask = lsm_ds["land_sea_mask"]
-  except Exception:  # pylint: disable=broad-except
-    pass
+      mask_da = lsm_ds["land_sea_mask"]
+      land_sea_mask = mask_da.copy(data=np.asarray(mask_da.data))
+  except Exception as e:  # pylint: disable=broad-except
+    if LSM_DATASET.value:
+      # an explicitly requested mask store must not be silently skipped
+      raise
+    print(f"Could not probe {lsm_path!r} for land_sea_mask: {e}")
   if land_sea_mask is None:
     print("No land_sea_mask found.")
 

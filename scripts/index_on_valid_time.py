@@ -125,7 +125,14 @@ def main(argv):
   coords[TIME] = xds.Variable((TIME,), valid_index)
   coords[other_dim] = xds.Variable((other_dim,), other_coord)
 
-  src_vars = source.variables_dict()
+  all_vars = source.variables_dict()
+  # variables without (time, lead) dims — e.g. a land_sea_mask — cannot
+  # be realigned; pass them through to the output unchanged
+  src_vars = {
+      n: v for n, v in all_vars.items()
+      if TIME in v.dims and DELTA in v.dims
+  }
+  static_vars = {n: v for n, v in all_vars.items() if n not in src_vars}
   template_vars = {}
   rest_dims = {}
   for name, var in src_vars.items():
@@ -135,6 +142,10 @@ def main(argv):
              **{d: var.sizes[d] for d in rest}}
     template_vars[name] = xds.stub_variable(
         (TIME, other_dim) + rest, sizes, np.float32, var.attrs
+    )
+  for name, var in static_vars.items():
+    template_vars[name] = xds.stub_variable(
+        var.dims, dict(var.sizes), np.float32, var.attrs
     )
   template = xds.Dataset(template_vars, coords=coords, attrs=source.attrs)
 
@@ -173,6 +184,12 @@ def main(argv):
           (sl, slice(None)) + (slice(None),) * len(rest_dims[name]),
           picked,
       )
+  for name, var in static_vars.items():
+    writer.write_array(
+        name,
+        tuple(slice(None) for _ in var.dims),
+        np.asarray(var.data, dtype=np.float32),
+    )
   writer.finish()
 
 

@@ -91,6 +91,17 @@ def main(argv):
   jobs = []
   out_times = None
   if METHOD.value == "roll":
+    # the reference only supports weekly rolling over DAILY input
+    # (reference resample_daily.py:103-115); silently reinterpreting
+    # other periods/frequencies would produce wrong windows
+    if not period.endswith("w"):
+      raise NotImplementedError(
+          f"method=roll supports weekly periods only, got {period!r}"
+      )
+    if len(times) > 1 and not (
+        np.diff(times) == np.timedelta64(1, "D")
+    ).all():
+      raise NotImplementedError("method=roll requires daily input data")
     window = 7 * int(period[:-1])
     out_times = times - np.timedelta64(window - 1, "D")
     for statistic in STATISTICS.value:
@@ -100,21 +111,28 @@ def main(argv):
     accum = [v for v in ds.keys() if v in DAILY_ACCUMULATIVE_VARS]
     normal = [v for v in ds.keys() if v not in DAILY_ACCUMULATIVE_VARS]
     plan_n = utils.resample_time_plan(times, period_td)
-    # accumulative vars: -1h shift so each day sums its own 24 hours
-    plan_a = utils.resample_time_plan(
-        times - np.timedelta64(1, "h"), period_td
-    )
-    if normal:
-      out_times = plan_n[0]
+    out_times = plan_n[0]
     if accum:
-      if out_times is None:
-        out_times = plan_a[0]
-      elif len(plan_a[0]) != len(out_times):
-        raise ValueError(
-            "accumulative and instantaneous variables resample to "
-            f"different numbers of periods ({len(plan_a[0])} vs "
-            f"{len(out_times)}); adjust the time range."
-        )
+      # accumulative vars: -1h shift so each day sums its own 24 hours,
+      # then ALIGN onto the normal daily labels — the shifted plan gains
+      # a partial leading bin on midnight-aligned input, which the
+      # reference drops via `.sel(time=daily_times)`
+      # (reference resample_daily.py:118-124)
+      la, sa, ea = utils.resample_time_plan(
+          times - np.timedelta64(1, "h"), period_td
+      )
+      la_list = la.astype("datetime64[ns]").tolist()
+      pos = {t: i for i, t in enumerate(la_list)}
+      keep = []
+      for t in out_times.astype("datetime64[ns]").tolist():
+        if t not in pos:
+          raise ValueError(
+              "accumulative variables cannot be aligned onto the daily "
+              f"axis (missing period {t}); adjust the time range."
+          )
+        keep.append(pos[t])
+      keep = np.asarray(keep)
+      plan_a = (out_times, sa[keep], ea[keep])
     for statistic in STATISTICS.value:
       if normal:
         jobs.append((normal, statistic, statistic, "resample",

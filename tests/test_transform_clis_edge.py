@@ -263,6 +263,98 @@ def test_compute_averages_over_time_skipna(tmp_path):
   assert "time" not in res.sizes
 
 
+def test_resample_daily_midnight_aligned_precip_with_mixed_vars(tmp_path):
+  """Midnight-aligned hourly input with precip AND instantaneous vars:
+  the shifted accumulative plan must align onto the daily axis instead
+  of erroring or emitting a partial leading day."""
+  import resample_daily
+
+  ds = utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[],
+          variables_2d=["total_precipitation_24hr", "2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-11",
+          time_resolution="1 hour",
+          spatial_resolution_in_degrees=60.0,
+      ),
+      seed=0,
+  )
+  in_path = str(tmp_path / "hourly.zarr")
+  xds.to_zarr(ds, in_path)
+  out = str(tmp_path / "daily.zarr")
+  with flagsaver.flagsaver(
+      input_path=in_path, output_path=out, period="1d",
+      statistics=["mean"], method="resample",
+  ):
+    resample_daily.main([])
+  res = xds.open_zarr(out)
+  assert res.sizes["time"] == 10
+  times = np.asarray(res.coords_dict()["time"].data)
+  assert times[0] == np.datetime64("2020-01-01")
+  # precip day 1 = sum of hours 01..24 (shifted -1h, aligned to Jan 1)
+  tp = np.asarray(ds["total_precipitation_24hr"].values)
+  want_day0 = tp[1:25].sum(axis=0)
+  np.testing.assert_allclose(
+      np.asarray(res["total_precipitation_24hr"].values)[0],
+      want_day0, rtol=1e-5,
+  )
+
+  with flagsaver.flagsaver(
+      input_path=in_path, output_path=str(tmp_path / "x.zarr"),
+      period="14d", statistics=["mean"], method="roll",
+  ):
+    with pytest.raises(NotImplementedError, match="weekly"):
+      resample_daily.main([])
+
+
+def test_statistical_moments_skip_nan(tmp_path):
+  import compute_statistical_moments
+
+  in_path, _ = _input(tmp_path, days=8, nan_at=(0, 0, 0))
+  out = str(tmp_path / "moments.zarr")
+  with flagsaver.flagsaver(input_path=in_path, output_path=out):
+    compute_statistical_moments.main([])
+  res = xds.open_zarr(out)
+  # first/second moments stay finite despite the NaN pixel
+  assert np.isfinite(res["2m_temperature_first"].values).all()
+  assert np.isfinite(res["2m_temperature_second"].values).all()
+  # zeroth moment reflects the NaN fraction (< 1 overall)
+  assert float(res["2m_temperature_zeroth"].values) < 1.0
+
+
+def test_index_on_valid_time_passes_static_vars(tmp_path):
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          variables_3d=[],
+          variables_2d=["2m_temperature"],
+          time_start="2020-01-01",
+          time_stop="2020-01-05",
+          lead_stop="2 days",
+          spatial_resolution_in_degrees=60.0,
+      ),
+      seed=0,
+  )
+  lat = np.asarray(fc.coords_dict()["latitude"].data)
+  lon = np.asarray(fc.coords_dict()["longitude"].data)
+  fc["land_sea_mask"] = xds.Variable(
+      ("latitude", "longitude"),
+      np.linspace(0, 1, lat.size * lon.size).reshape(lat.size, lon.size),
+  )
+  in_path = str(tmp_path / "fc_static.zarr")
+  xds.to_zarr(fc, in_path)
+  out = str(tmp_path / "valid.zarr")
+  with flagsaver.flagsaver(input_path=in_path, output_path=out):
+    index_on_valid_time.main([])
+  res = xds.open_zarr(out)
+  np.testing.assert_allclose(
+      np.asarray(res["land_sea_mask"].values),
+      np.asarray(fc["land_sea_mask"].values),
+      rtol=1e-6,
+  )
+  assert "2m_temperature" in res.keys()
+
+
 def test_compute_averages_static_var_not_inflated(tmp_path):
   """A variable without the time dim must not be accumulated once per
   streamed block (regression: N_blocks x inflation under skipna=False)."""

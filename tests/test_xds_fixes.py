@@ -91,6 +91,76 @@ def test_nearest_on_descending_index():
   assert float(da2.sel(latitude=44.0, method="nearest").values) == 3.0
 
 
+def test_nearest_tiebreak_and_datetime_tolerance():
+  # equidistant labels resolve to the LARGER value (pandas semantics)
+  da = xds.DataArray(
+      np.arange(2.0), dims=("x",), coords={"x": np.array([0.0, 2.0])}
+  )
+  assert float(da.sel(x=1.0, method="nearest").values) == 1.0
+  # datetime tolerance compares in the time domain, not float64
+  t = np.array(
+      ["2020-01-01T00", "2020-01-01T06"], dtype="datetime64[ns]"
+  )
+  da2 = xds.DataArray(np.arange(2.0), dims=("time",), coords={"time": t})
+  v = da2.sel(
+      time=np.datetime64("2020-01-01T05"), method="nearest",
+      tolerance=np.timedelta64(2, "h"),
+  )
+  assert float(v.values) == 1.0
+  with pytest.raises(KeyError):
+    da2.sel(
+        time=np.datetime64("2020-01-02T05"), method="nearest",
+        tolerance=np.timedelta64(2, "h"),
+    )
+
+
+def test_quantile_mixed_dims_and_lazy_cast(tmp_path):
+  ds = xds.Dataset(
+      {
+          "t2m": xds.Variable(("time", "lat"), np.random.randn(4, 3)),
+          "z": xds.Variable(
+              ("time", "level", "lat"), np.random.randn(4, 2, 3)
+          ),
+      },
+      coords={
+          "time": np.arange(4), "level": np.array([500, 850]),
+          "lat": np.arange(3),
+      },
+  )
+  qq = ds.quantile(0.5, dim=["time", "level"])
+  assert qq["t2m"].dims == ("lat",) and qq["z"].dims == ("lat",)
+
+  # astype on a lazy payload stays lazy (per-read cast)
+  small = _small_ds()
+  path = str(tmp_path / "lazycast.zarr")
+  xds.to_zarr(small, path)
+  lazy = xds.open_zarr(path, lazy=True)
+  cast = lazy["2m_temperature"].astype(np.float64)
+  from weatherbench2_tpu.xds import core as xcore
+
+  assert isinstance(cast.data, xcore.LazyArrayBase)
+  sub = cast.isel(time=slice(0, 1))
+  vals = np.asarray(sub.values)
+  assert vals.dtype == np.float64
+  np.testing.assert_allclose(
+      vals, np.asarray(small["2m_temperature"].values)[:1], rtol=1e-6
+  )
+
+
+def test_binop_keeps_dataset_level_coords():
+  a = xds.Dataset(
+      {"v": xds.Variable(("x",), np.ones(3))},
+      coords={
+          "x": np.arange(3),
+          "z": xds.Variable(("y",), np.arange(2)),
+      },
+  )
+  b = xds.Dataset(
+      {"v": xds.Variable(("x",), np.ones(3))}, coords={"x": np.arange(3)}
+  )
+  assert "z" in (a + b).coords_dict()
+
+
 def test_dataset_squeeze_validates_size():
   ds = _small_ds()
   with pytest.raises(ValueError, match="cannot squeeze"):

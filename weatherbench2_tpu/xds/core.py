@@ -41,6 +41,41 @@ class LazyArrayBase:
   """
 
 
+class LazyCast(LazyArrayBase):
+  """A dtype cast deferred over a lazy payload (cast happens per read)."""
+
+  __slots__ = ("_base", "dtype")
+
+  def __init__(self, base, dtype):
+    self._base = base
+    self.dtype = np.dtype(dtype)
+
+  @property
+  def shape(self):
+    return self._base.shape
+
+  @property
+  def ndim(self):
+    return len(self._base.shape)
+
+  @property
+  def size(self):
+    return int(np.prod(self._base.shape)) if self._base.shape else 1
+
+  def __getitem__(self, key):
+    piece = self._base[key]
+    if isinstance(piece, LazyArrayBase):
+      return LazyCast(piece, self.dtype)
+    return np.asarray(piece).astype(self.dtype)
+
+  def __array__(self, dtype=None, copy=None):
+    out = np.asarray(self._base).astype(self.dtype)
+    return out.astype(dtype) if dtype is not None else out
+
+  def __repr__(self):
+    return f"LazyCast({self._base!r}, dtype={self.dtype})"
+
+
 def _is_jax(x) -> bool:
   import jax  # local import: keep numpy-only paths importable without jax
 
@@ -349,19 +384,32 @@ class Index:
         flat = flat.astype(self.values.dtype)
 
     if method == "nearest":
-      # searchsorted needs ascending values: operate on the sorted view
-      # and map back (descending latitude is the native ERA5 ordering)
-      vals_raw = self.values.astype(np.float64)
-      order = np.argsort(vals_raw, kind="stable")
-      vals = vals_raw[order]
-      q = flat.astype(np.float64)
+      # searchsorted needs ascending values: use the cached sorted view
+      # and map back (descending latitude is the native ERA5 ordering).
+      # datetime/timedelta indexes compare in int64 ns — float64 loses
+      # ~256 ns of precision at modern epochs.
+      sorted_vals, order, _ = self._sorted_view()
+      if self.values.dtype.kind in ("M", "m"):
+        vals = sorted_vals.astype(np.int64)
+        q = flat.astype(self.values.dtype).astype(np.int64)
+        tol = (
+            None if tolerance is None
+            else np.timedelta64(tolerance).astype("timedelta64[ns]")
+            .astype(np.int64)
+        )
+      else:
+        vals = sorted_vals.astype(np.float64)
+        q = flat.astype(np.float64)
+        tol = None if tolerance is None else float(tolerance)
       pos = np.searchsorted(vals, q)
       pos = np.clip(pos, 1, len(vals) - 1)
       left = vals[pos - 1]
       right = vals[pos]
-      pos = pos - (np.abs(q - left) <= np.abs(right - q))
-      if tolerance is not None:
-        bad = np.abs(vals[pos] - q) > tolerance
+      # strict <: equidistant labels resolve to the LARGER value,
+      # matching pandas get_indexer(method='nearest')
+      pos = pos - (np.abs(q - left) < np.abs(right - q))
+      if tol is not None:
+        bad = np.abs(vals[pos] - q) > tol
         if np.any(bad):
           raise KeyError(
               f"labels {flat[bad]} not within tolerance {tolerance}"
@@ -614,7 +662,9 @@ class DataArray:
   def astype(self, dtype):
     data = self.data
     if isinstance(data, LazyArrayBase):
-      data = np.asarray(data)  # lazy payloads expose no astype
+      # defer the cast: materializing a lazily opened store here would
+      # read the whole variable into host memory
+      return self.copy(data=LazyCast(data, dtype))
     return self.copy(data=data.astype(dtype))
 
   def to_jax(self):
@@ -1732,12 +1782,21 @@ class Dataset:
       out = {}
       for k in names:
         out[k] = self[k]._binop(other[k], op, reflexive)
-      # coords are inherited through each DataArray's own coords below;
-      # dataset-level coords reachable from no shared variable are
-      # intentionally dropped (xarray keeps only compatible coords too)
       ds = Dataset({}, coords={}, attrs=self.attrs)
       for k, da in out.items():
         ds[k] = da
+      # coords reachable through the result variables are inherited
+      # above; also keep non-conflicting dataset-level coords from both
+      # operands (xarray's binary-op merge retains them)
+      for src in (self, other):
+        for cn, cv in src._coords.items():
+          if cn in ds._coords:
+            continue
+          if all(
+              ds.sizes.get(d, cv.sizes[d]) == cv.sizes[d]
+              for d in cv.dims
+          ):
+            ds._coords[cn] = cv
       return ds
     if isinstance(other, DataArray):
       return self.map(lambda da: da._binop(other, op, reflexive))
@@ -1862,11 +1921,15 @@ class Dataset:
     if dim is None:
       return self.map(lambda da: da.quantile(q, None, skipna))
     dims = set([dim] if isinstance(dim, str) else dim)
-    return self.map(
-        lambda da: da.quantile(q, dim, skipna)
-        if dims & set(da.dims)
-        else da
-    )
+
+    def per_var(da):
+      # reduce each variable over the dims it actually has (xarray
+      # semantics — mixed surface/pressure-level stores reduce t2m over
+      # time while z reduces over time AND level)
+      present = [d for d in da.dims if d in dims]
+      return da.quantile(q, present, skipna) if present else da
+
+    return self.map(per_var)
 
   def weighted(self, weights):
     return Weighted(self, weights)

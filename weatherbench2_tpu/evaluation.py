@@ -31,7 +31,10 @@ def make_latitude_increasing(dataset: xds.Dataset) -> xds.Dataset:
   """Make sure latitude values are increasing. Flip dataset if necessary."""
   lat = np.asarray(dataset.coords_dict()["latitude"].data)
   if (np.diff(lat) < 0).all():
-    dataset = dataset.isel(latitude=np.arange(len(lat))[::-1])
+    # negative-step slice, not an index array: lazy payloads compose
+    # negative-step basic slices into views, while an integer-array
+    # index would read the store eagerly
+    dataset = dataset.isel(latitude=slice(None, None, -1))
   return dataset
 
 
@@ -322,7 +325,10 @@ def open_forecast_and_truth_datasets(
     )
 
   if eval_config.evaluate_climatology:
-    climatology = xds.open_zarr(data_config.paths.climatology)
+    # lazy on the streaming path: an official hourly 0.25-degree
+    # climatology is 100s of GB, and the engine only gathers per-chunk
+    # (dayofyear, hour) slices
+    climatology = xds.open_zarr(data_config.paths.climatology, lazy=lazy)
     climatology = make_latitude_increasing(climatology)
   else:
     climatology = None
@@ -387,17 +393,26 @@ def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
       vals = np.asarray(cv.data)
       if cn not in union_coord_vals:
         union_coord_vals[cn] = vals
-      elif not (
-          len(union_coord_vals[cn]) == len(vals)
-          and np.array_equal(union_coord_vals[cn], vals)
-      ):
-        merged = list(union_coord_vals[cn])
+        continue
+      cur = union_coord_vals[cn]
+      # dtype-insensitive merge: float32 vs float64 labels of the same
+      # value must not duplicate the axis
+      if cur.dtype.kind in "iuf" and vals.dtype.kind in "iuf":
+        common = np.result_type(cur.dtype, vals.dtype)
+        cur = cur.astype(common)
+        vals = vals.astype(common)
+      if len(cur) == len(vals) and np.array_equal(cur, vals):
+        union_coord_vals[cn] = cur
+      else:
+        merged = list(cur)
         for x in vals.tolist():
           if x not in merged:
             merged.append(x)
-        union_coord_vals[cn] = np.asarray(merged, dtype=vals.dtype)
+        union_coord_vals[cn] = np.asarray(merged, dtype=cur.dtype)
 
   def _reindex_axis(arr, axis, src_vals, dst_vals):
+    if src_vals.dtype.kind in "iuf" and dst_vals.dtype.kind in "iuf":
+      src_vals = src_vals.astype(dst_vals.dtype)
     if len(src_vals) == len(dst_vals) and np.array_equal(
         src_vals, dst_vals
     ):
@@ -434,6 +449,9 @@ def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
               if d in union_coord_vals
               else da.sizes[d]
           )
+        elif d not in union_coord_vals:
+          # label-less dims outer-join by size (smaller pieces NaN-pad)
+          sizes[d] = max(sizes[d], da.sizes[d])
     full_shape = tuple(sizes[d] for d in union_dims)
     pieces = []
     for ds, da in holders:
@@ -457,6 +475,10 @@ def merge_metric_results(results: list, dim: str = "metric") -> xds.Dataset:
               vals, ax + 1, np.asarray(ds_coords[d].data),
               union_coord_vals[d],
           )
+        elif vals.shape[ax + 1] < sizes.get(d, vals.shape[ax + 1]):
+          pad = [(0, 0)] * vals.ndim
+          pad[ax + 1] = (0, sizes[d] - vals.shape[ax + 1])
+          vals = np.pad(vals, pad, constant_values=np.nan)
       # broadcast up to union dims
       v = xds.Variable((dim,) + da_dims, vals)
       v = v.broadcast_to_dims((dim,) + tuple(union_dims),
@@ -523,6 +545,33 @@ def _metric_and_region_loop(
   return merge_metric_results(results)
 
 
+def substitute_climatology_forecast(
+    forecast_like: xds.Dataset,
+    climatology: xds.Dataset,
+    by_init: bool,
+) -> xds.Dataset:
+  """Climatology selected at the forecast's valid times, coords kept.
+
+  The single implementation for both engines (in-memory here; per-chunk
+  in parallel/streaming._make_truth_chunk) so the baseline semantics
+  cannot diverge.
+  """
+  from weatherbench2_tpu import metrics as metrics_lib
+
+  time_dim = "valid_time" if by_init else "time"
+  names = list(forecast_like.keys())
+  clim = metrics_lib.select_climatology_variables(climatology, names)
+  sel = dict(dayofyear=forecast_like[time_dim].dt.dayofyear)
+  if "hour" in climatology.sizes:
+    sel["hour"] = forecast_like[time_dim].dt.hour
+  new_f = clim.sel(sel)
+  # keep forecast coords (valid_time etc.)
+  for cn, cv in forecast_like.coords_dict().items():
+    if cn not in new_f.coords_dict():
+      new_f = new_f.assign_coords({cn: cv})
+  return new_f
+
+
 def _build_baseline_forecast(
     forecast: xds.Dataset,
     truth: xds.Dataset,
@@ -532,20 +581,9 @@ def _build_baseline_forecast(
 ) -> xds.Dataset:
   """Replace the forecast with climatology/persistence baselines if asked."""
   if eval_config.evaluate_climatology:
-    time_dim = "valid_time" if data_config.by_init else "time"
-    names = list(forecast.keys())
-    sel = dict(dayofyear=forecast[time_dim].dt.dayofyear)
-    if "hour" in climatology.sizes:
-      sel["hour"] = forecast[time_dim].dt.hour
-    from weatherbench2_tpu import metrics as metrics_lib
-
-    clim = metrics_lib.select_climatology_variables(climatology, names)
-    new_forecast = clim.sel(sel)
-    # keep forecast coords (valid_time etc.)
-    for cn, cv in forecast.coords_dict().items():
-      if cn not in new_forecast.coords_dict():
-        new_forecast = new_forecast.assign_coords({cn: cv})
-    return new_forecast
+    return substitute_climatology_forecast(
+        forecast, climatology, data_config.by_init
+    )
   if eval_config.evaluate_probabilistic_climatology:
     probabilistic_climatology = utils.make_probabilistic_climatology(
         truth,
@@ -634,6 +672,8 @@ def evaluate_in_memory(
   Output schema matches the reference (evaluation.py:497-508): dims
   ``(metric, region, lead_time[, level])`` per variable.
   """
+  for eval_config in eval_configs.values():
+    eval_config.validate()  # fail fast, not after hours of evaluation
   for eval_name, eval_config in eval_configs.items():
     _evaluate_all_metrics(eval_name, eval_config, data_config, skipna=skipna)
 
@@ -669,6 +709,8 @@ def evaluate_with_mesh(
 
   import time as _time
 
+  for eval_config in eval_configs.values():
+    eval_config.validate()  # fail fast, not after hours of streaming
   input_chunks = dict(input_chunks or {})
 
   # Group configs whose inputs are constructed identically (same baseline
@@ -677,6 +719,17 @@ def evaluate_with_mesh(
   # config's jit program — the mesh equivalent of the reference's Beam
   # pipeline branching all eval configs off one DatasetToChunks
   # (reference evaluation.py:693-746).
+  def _dv_identity(name, dv):
+    # identify derived variables by DEFINITION, not just name: a
+    # same-named variable defined differently in another config must
+    # not share a group (the group computes derived chunks once)
+    try:
+      spec = repr(dv)  # dataclass repr captures the parameters
+    except Exception:  # pragma: no cover - exotic subclasses
+      spec = f"{type(dv).__module__}.{type(dv).__qualname__}@{id(dv)}"
+    return (name, type(dv).__qualname__, spec,
+            tuple(sorted(dv.base_variables)))
+
   def _group_key(cfg):
     return (
         cfg.against_analysis,
@@ -686,7 +739,9 @@ def evaluate_with_mesh(
         cfg.probabilistic_climatology_start_year,
         cfg.probabilistic_climatology_end_year,
         cfg.probabilistic_climatology_hour_interval,
-        tuple(sorted(cfg.derived_variables)),
+        tuple(sorted(
+            _dv_identity(n, dv) for n, dv in cfg.derived_variables.items()
+        )),
     )
 
   groups: dict = {}

@@ -20,18 +20,33 @@ _TRIED = False
 
 
 def _build() -> bool:
+  """Compile to a process-unique temp name, then publish atomically.
+
+  Concurrent processes (pytest -n, several CLIs on one checkout) may
+  race the build; os.replace makes the .so appear whole or not at all,
+  so no reader ever dlopens a torn file.  The library is never shipped
+  prebuilt (it is compiled with -march=native and would SIGILL on a
+  CPU missing the build host's ISA) — it is gitignored and always
+  built on the machine that runs it.
+  """
+  tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
   try:
     subprocess.run(
         [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-std=c++17", "-pthread", _SRC, "-o", _LIB_PATH,
+            "-std=c++17", "-pthread", _SRC, "-o", tmp,
         ],
         check=True,
         capture_output=True,
         timeout=120,
     )
+    os.replace(tmp, _LIB_PATH)
     return True
   except Exception:
+    try:
+      os.unlink(tmp)
+    except OSError:
+      pass
     return False
 
 

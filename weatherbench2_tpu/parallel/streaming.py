@@ -1296,19 +1296,13 @@ def _make_truth_chunk(
 
   # baseline forecast substitution (climatology / prob-clim / persistence)
   if eval_config.evaluate_climatology and climatology is not None:
-    from weatherbench2_tpu import metrics as metrics_lib
+    from weatherbench2_tpu.evaluation import (
+        substitute_climatology_forecast,
+    )
 
-    time_dim = "valid_time" if by_init else "time"
-    names = list(f_chunk.keys())
-    clim = metrics_lib.select_climatology_variables(climatology, names)
-    sel = dict(dayofyear=f_chunk[time_dim].dt.dayofyear)
-    if "hour" in climatology.sizes:
-      sel["hour"] = f_chunk[time_dim].dt.hour
-    new_f = clim.sel(sel)
-    for cn, cv in f_chunk.coords_dict().items():
-      if cn not in new_f.coords_dict():
-        new_f = new_f.assign_coords({cn: cv})
-    f_chunk = new_f
+    f_chunk = substitute_climatology_forecast(
+        f_chunk, climatology, by_init
+    )
   elif eval_config.evaluate_probabilistic_climatology and (
       prob_clim is not None
   ):

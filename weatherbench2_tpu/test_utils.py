@@ -36,14 +36,19 @@ def assert_negative(x, err_msg=""):
 
 
 def insert_nan(
-    dataset: xds.Dataset, frac_nan: float = 0.1, seed: int = 0
+    dataset: xds.Dataset, frac_nan: float = 0.1, seed: int = 802701
 ) -> xds.Dataset:
-  """Replace a random fraction of each variable's values with NaN."""
+  """Replace a random fraction of each variable's values with NaN.
+
+  Preserves the input dtype (a float64 upcast would silently mask
+  float32-specific precision bugs in the NaN fuzz suite) and uses the
+  reference's default seed (reference test_utils.py:52-63) so fixtures
+  cross-check.
+  """
   rs = np.random.RandomState(seed)
   new_data = {}
   for k, v in dataset.variables_dict().items():
-    values = np.asarray(xds.core._to_numpy(v.data), dtype=np.float64).copy()
+    values = np.asarray(xds.core._to_numpy(v.data))
     mask = rs.rand(*values.shape) < frac_nan
-    values[mask] = np.nan
-    new_data[k] = values
+    new_data[k] = np.where(mask, np.nan, values)
   return dataset.copy(data=new_data)

@@ -88,7 +88,10 @@ def _gen(tag, res_deg, with_levels, ensemble=None):
       lead_start="0 days", lead_stop="10 days", lead_resolution="12 hours",
       ensemble_size=ensemble, **specs,
   )
-  clim = schema.mock_hourly_climatology_data(hour_interval=24, **specs)
+  # hour resolution must cover the forecast's valid hours (12-hourly
+  # inits x 12-hourly leads -> hours {0, 12}); ACC's climatology gather
+  # validates exact hour matches like the reference's .sel
+  clim = schema.mock_hourly_climatology_data(hour_interval=12, **specs)
   tp = os.path.join(CACHE, f"truth_{tag}.zarr")
   fp = os.path.join(CACHE, f"forecast_{tag}.zarr")
   cp = os.path.join(CACHE, f"clim_{tag}.zarr")

@@ -91,6 +91,86 @@ def test_nearest_on_descending_index():
   assert float(da2.sel(latitude=44.0, method="nearest").values) == 3.0
 
 
+def test_isel_scalar_plus_array_placement():
+  """numpy's advanced-index placement rule (scalar int + array separated
+  by a slice moves the broadcast axis first) must not leak into isel."""
+  da = xds.DataArray(
+      np.arange(5 * 4 * 6).reshape(5, 4, 6).astype(float),
+      dims=("time", "lat", "lon"),
+      coords={
+          "time": np.arange(5), "lat": np.arange(4), "lon": np.arange(6)
+      },
+  )
+  got = da.isel(time=0, lon=[0, 2, 3])
+  assert got.dims == ("lat", "lon")
+  want = np.arange(5 * 4 * 6).reshape(5, 4, 6)[0][:, [0, 2, 3]]
+  np.testing.assert_array_equal(got.values, want)
+
+
+def test_partial_string_second_resolution_and_inclusive_stop():
+  t = np.arange(
+      np.datetime64("2020-01-01"), np.datetime64("2020-01-03"),
+      np.timedelta64(6, "h"),
+  )
+  da = xds.DataArray(
+      np.arange(len(t), dtype=float), dims=("time",), coords={"time": t}
+  )
+  assert float(da.sel(time="2020-01-01T06:00:00").values) == 1.0
+  got = da.sel(time=slice("2020-01-01T00:00:00", "2020-01-01T18:00:00"))
+  assert len(got.values) == 4  # label slicing is stop-inclusive
+
+
+def test_expand_dims_negative_axis():
+  v = xds.Variable(("a", "b"), np.zeros((3, 4)))
+  out = v.expand_dims_var("new", axis=-1)
+  assert out.dims == ("a", "b", "new")
+  assert out.shape == (3, 4, 1)
+
+
+def test_align_preserves_descending_order():
+  a = xds.DataArray(
+      np.arange(3.0), dims=("lat",),
+      coords={"lat": np.array([90.0, 45.0, 0.0])},
+  )
+  b = xds.DataArray(
+      np.arange(2.0), dims=("lat",),
+      coords={"lat": np.array([45.0, 0.0])},
+  )
+  c = a + b
+  np.testing.assert_array_equal(
+      np.asarray(c.coords["lat"].data), [45.0, 0.0]
+  )
+
+
+def test_merge_conflicting_values_raise():
+  a = xds.Dataset({"t": xds.Variable(("x",), np.array([1.0, 2.0]))})
+  b = xds.Dataset({"t": xds.Variable(("x",), np.array([9.0, 9.0]))})
+  with pytest.raises(ValueError, match="conflicting"):
+    xds.merge([a, b])
+  # equal duplicates merge fine
+  out = xds.merge([a, a])
+  np.testing.assert_array_equal(out["t"].values, [1.0, 2.0])
+
+
+def test_equals_compares_coords():
+  a = xds.DataArray(
+      np.array([1.0, 2.0]), dims=("t",), coords={"t": np.array([0, 1])}
+  )
+  b = xds.DataArray(
+      np.array([1.0, 2.0]), dims=("t",), coords={"t": np.array([5, 6])}
+  )
+  assert not a.equals(b)
+  assert a.equals(a.copy(data=a.values))
+
+
+def test_unsupported_sel_method_raises():
+  da = xds.DataArray(
+      np.arange(3.0), dims=("x",), coords={"x": np.arange(3.0)}
+  )
+  with pytest.raises(NotImplementedError, match="method"):
+    da.sel(x=1.5, method="ffill")
+
+
 def test_nearest_tiebreak_and_datetime_tolerance():
   # equidistant labels resolve to the LARGER value (pandas semantics)
   da = xds.DataArray(

@@ -172,6 +172,11 @@ class Variable:
 
   def expand_dims_var(self, dim: str, size: int = 1, axis: int = 0):
     xp = _xp(self.data)
+    # normalize negative axes up front: list.insert and the slice-based
+    # broadcast below interpret them differently from xp.expand_dims,
+    # which would silently mislabel every dim after the insertion point
+    if axis < 0:
+      axis = self.ndim + 1 + axis
     data = xp.expand_dims(self.data, axis)
     if size != 1:
       data = xp.broadcast_to(
@@ -230,7 +235,16 @@ class Variable:
         for i, k in enumerate(key)
         if not isinstance(k, slice) and getattr(_asarray(k), "ndim", 0) >= 1
     ]
-    if len(arr_axes) <= 1:
+    int_axes = [
+        i
+        for i, k in enumerate(key)
+        if not isinstance(k, slice) and getattr(_asarray(k), "ndim", 1) == 0
+    ]
+    # The one-shot path is only safe when numpy's advanced-index
+    # placement rule cannot trigger: a scalar int is itself an advanced
+    # index, so int + array separated by a slice silently moves the
+    # broadcast axis to the front (transposed, mislabeled data).
+    if not arr_axes or (len(arr_axes) == 1 and not int_axes):
       data = data[tuple(key)]
     else:
       for ax_i, k in enumerate(key):
@@ -302,23 +316,25 @@ def _parse_datetime_label(label, dtype):
 
 
 def _partial_string_bounds(label: str):
-  """Return [start, stop) datetime64 bounds for a partial ISO string."""
+  """[start, stop) datetime64[ns] bounds for a partial ISO string.
+
+  pandas Period inference covers every resolution (year, month, day,
+  hour, minute, second), matching xarray's partial-string indexing; the
+  bounds are built from integer nanoseconds (``np.datetime64(Timestamp)``
+  truncates to microseconds, which previously collapsed sub-second
+  intervals to empty)."""
   import pandas as pd
 
-  n = len(label)
-  start = pd.Timestamp(label)
-  if n == 4:  # YYYY
-    stop = pd.Timestamp(year=start.year + 1, month=1, day=1)
-  elif n == 7:  # YYYY-MM
-    y, m = start.year, start.month
-    stop = pd.Timestamp(
-        year=y + (m == 12), month=1 if m == 12 else m + 1, day=1
+  try:
+    per = pd.Period(label)
+    return (
+        np.datetime64(per.start_time.value, "ns"),
+        np.datetime64(per.end_time.value + 1, "ns"),
     )
-  elif n == 10:  # YYYY-MM-DD
-    stop = start + pd.Timedelta(days=1)
-  else:
-    stop = start + pd.Timedelta(nanoseconds=1)
-  return np.datetime64(start), np.datetime64(stop)
+  except Exception:
+    start = pd.Timestamp(label)
+    s = np.datetime64(start.value, "ns")
+    return s, s + np.timedelta64(1, "ns")
 
 
 class Index:
@@ -368,6 +384,13 @@ class Index:
 
   def positions_for_labels(self, labels, method=None, tolerance=None):
     """Resolve an array of labels to integer positions."""
+    if method not in (None, "nearest"):
+      # silently falling back to exact-match would make pad/ffill/bfill
+      # callers fail only intermittently
+      raise NotImplementedError(
+          f"selection method {method!r} is not supported "
+          "(only None and 'nearest')"
+      )
     labels = np.asarray(labels)
     scalar = labels.ndim == 0
     flat = np.atleast_1d(labels)
@@ -1135,10 +1158,23 @@ class DataArray:
   def equals(self, other: "DataArray") -> bool:
     if self.dims != other.dims or self.shape != other.shape:
       return False
-    a, b = self.values, other.values
-    if a.dtype.kind == "f":
-      return bool(np.array_equal(a, b, equal_nan=True))
-    return bool(np.array_equal(a, b))
+
+    def _arrays_equal(a, b):
+      if a.dtype.kind == "f":
+        return bool(np.array_equal(a, b, equal_nan=True))
+      return bool(np.array_equal(a, b))
+
+    # coordinates participate (xarray semantics): identical values with
+    # shifted time/lat labels must NOT compare equal
+    if set(self.coords) != set(other.coords):
+      return False
+    for k in self.coords:
+      ca, cb = self.coords[k], other.coords[k]
+      if ca.dims != cb.dims or ca.shape != cb.shape:
+        return False
+      if not _arrays_equal(_to_numpy(ca.data), _to_numpy(cb.data)):
+        return False
+    return _arrays_equal(self.values, other.values)
 
   def compute(self, **kw):
     return self
@@ -1483,9 +1519,15 @@ def align_arrays(a: DataArray, b: DataArray):
     bv = _to_numpy(cb.data)
     if av is bv or (av.shape == bv.shape and np.array_equal(av, bv)):
       continue
-    common, ia, ib = np.intersect1d(av, bv, return_indices=True)
-    if common.size == 0:
+    # order-preserving inner join (pandas/xarray keep the FIRST
+    # operand's label order; np.intersect1d would sort ascending and
+    # silently flip descending latitude axes)
+    mask_a = np.isin(av, bv)
+    ia = np.nonzero(mask_a)[0]
+    if ia.size == 0:
       raise ValueError(f"no overlapping labels on dim {d!r}")
+    b_pos = {v: i for i, v in enumerate(bv.tolist())}
+    ib = np.asarray([b_pos[v] for v in av[ia].tolist()])
     sel_a[d] = ia
     sel_b[d] = ib
   if sel_a:
@@ -1686,10 +1728,10 @@ class Dataset:
       }
       renamed_coords = {}
       for k, v in out._coords.items():
-        if k == old:
-          renamed_coords[k] = v  # old index coord stays as non-dim coord
-        else:
-          renamed_coords[k] = v.rename_dims({old: new})
+        # the old index coord survives as a NON-DIM coord re-labeled
+        # onto the new dim (xarray semantics) — keeping it on the old
+        # dim name would leave a phantom dim that selection never touches
+        renamed_coords[k] = v.rename_dims({old: new})
       out = Dataset(renamed_vars, renamed_coords, out.attrs)
     return out
 
@@ -2128,6 +2170,21 @@ def merge(objs) -> Dataset:
       o = o.to_dataset()
     for k, v in o.variables_dict().items():
       if k in out.variables_dict():
+        prev = out.variables_dict()[k]
+        same = prev.dims == v.dims and prev.shape == v.shape
+        if same:
+          pa, pb = _to_numpy(prev.data), _to_numpy(v.data)
+          same = (
+              np.array_equal(pa, pb, equal_nan=True)
+              if pa.dtype.kind == "f"
+              else np.array_equal(pa, pb)
+          )
+        if not same:
+          raise ValueError(
+              f"merge: conflicting values for variable {k!r} "
+              "(xarray raises MergeError here; silently keeping the "
+              "first would lose data)"
+          )
         continue
       out[k] = v
     for k, c in o.coords_dict().items():
@@ -2248,11 +2305,26 @@ def dot(a: DataArray, b: DataArray, dims) -> DataArray:
 
 
 def apply_ufunc(func, *args, **kwargs):
-  """Minimal apply_ufunc: elementwise application preserving metadata."""
+  """Minimal apply_ufunc: ELEMENTWISE application preserving metadata.
+
+  Unsupported xarray options (input_core_dims etc.) raise instead of
+  being silently discarded; payloads pass through as-is (jax arrays and
+  tracers stay on device — ``.values`` would break under jit).
+  """
+  if kwargs:
+    raise NotImplementedError(
+        f"apply_ufunc options {sorted(kwargs)} are not supported by this "
+        "minimal elementwise implementation"
+    )
   das = [a for a in args if isinstance(a, DataArray)]
   if not das:
     return func(*args)
   template = das[0]
-  vals = [a.values if isinstance(a, DataArray) else a for a in args]
+  vals = [
+      (np.asarray(a.data) if isinstance(a.data, LazyArrayBase) else a.data)
+      if isinstance(a, DataArray)
+      else a
+      for a in args
+  ]
   out = func(*vals)
   return template.copy(data=out)

@@ -130,7 +130,10 @@ def register():
       v.data = data
       v.attrs = dict(a)
       ds._variables[name] = v
-    ds._coords = coords.coords
+    # shallow-copy: every unflatten of a cached treedef hands out the
+    # SAME _StaticCoords dict, so an in-place coord mutation on one jit
+    # output would leak into all others and corrupt the cached aux hash
+    ds._coords = dict(coords.coords)
     ds.attrs = dict(attrs)
     return ds
 

@@ -107,6 +107,52 @@ def test_isel_scalar_plus_array_placement():
   np.testing.assert_array_equal(got.values, want)
 
 
+def test_isel_fuzz_vs_orthogonal_oracle():
+  """Random mixes of scalar/slice/array indexers must match a sequential
+  per-axis (orthogonal) numpy oracle — the semantics xarray guarantees
+  and numpy's placement rule silently violates for some mixes."""
+  rng = np.random.default_rng(12)
+  dims = ("a", "b", "c", "d")
+  shape = (5, 4, 6, 3)
+  data = rng.standard_normal(shape)
+  da = xds.DataArray(
+      data, dims=dims,
+      coords={d: np.arange(n) for d, n in zip(dims, shape)},
+  )
+  for _ in range(50):
+    indexers = {}
+    for d, n in zip(dims, shape):
+      kind = rng.integers(0, 4)
+      if kind == 0:
+        continue
+      if kind == 1:
+        indexers[d] = int(rng.integers(0, n))
+      elif kind == 2:
+        lo = int(rng.integers(0, n))
+        indexers[d] = slice(lo, int(rng.integers(lo, n)) + 1)
+      else:
+        k = int(rng.integers(1, n + 1))
+        indexers[d] = rng.choice(n, size=k, replace=False)
+    if not indexers:
+      continue
+    got = da.isel(indexers)
+    # oracle: apply one axis at a time
+    want = data
+    want_dims = list(dims)
+    for d in dims:
+      if d not in indexers:
+        continue
+      ax = want_dims.index(d)
+      k = indexers[d]
+      key = [slice(None)] * want.ndim
+      key[ax] = k
+      want = want[tuple(key)]
+      if isinstance(k, (int, np.integer)):
+        want_dims.remove(d)
+    assert got.dims == tuple(want_dims), (indexers, got.dims, want_dims)
+    np.testing.assert_array_equal(got.values, want, err_msg=str(indexers))
+
+
 def test_partial_string_second_resolution_and_inclusive_stop():
   t = np.arange(
       np.datetime64("2020-01-01"), np.datetime64("2020-01-03"),

@@ -89,6 +89,50 @@ def test_resume_with_lead_chunking_raises(tmp_path):
     )
 
 
+def test_acc_host_gather_fallback_matches_device_resident(monkeypatch):
+  """Climatologies over WB2_CLIM_DEVICE_BYTES fall back to per-chunk
+  host gathers (the 0.25-degree hourly climatology exceeds HBM); both
+  modes must agree."""
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-10",
+      spatial_resolution_in_degrees=30.0,
+  )
+  truth = utils.random_like(
+      schema.mock_truth_data(**{**kwargs, "time_stop": "2020-01-14"}),
+      seed=0,
+  )
+  fc = utils.random_like(
+      schema.mock_forecast_data(lead_stop="2 days", **kwargs), seed=1
+  )
+  fc = schema.apply_time_conventions(fc, by_init=True)
+  truth_sel = truth.sel(time=fc["valid_time"])
+  clim = utils.random_like(
+      schema.mock_hourly_climatology_data(
+          hour_interval=6, **{k: v for k, v in kwargs.items()
+                              if not k.startswith("time")},
+      ),
+      seed=2,
+  )
+
+  device_res = metrics.ACC(climatology=clim).compute_chunk(fc, truth_sel)
+  monkeypatch.setenv("WB2_CLIM_DEVICE_BYTES", "1")
+  host_metric = metrics.ACC(climatology=clim)
+  prepared = host_metric.prepare_chunk(fc, truth_sel)
+  assert "clim_chunk" in prepared  # fallback engaged
+  host_res = host_metric.compute_chunk_prepared(fc, truth_sel, prepared)
+  np.testing.assert_allclose(
+      host_res["2m_temperature"].values,
+      device_res["2m_temperature"].values,
+      rtol=1e-6,
+  )
+  # pointwise protocol works in host-gather mode too
+  fields = host_metric.pointwise_chunk(fc, truth_sel, prepared, False)
+  assert fields is not None
+
+
 def test_resume_with_different_chunk_size_raises(tmp_path):
   """chunk_index counts chunks: a resume must use the same chunk size."""
   truth_path, fc_path = _mk_data(tmp_path)

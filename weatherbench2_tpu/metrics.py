@@ -23,6 +23,7 @@ Numerical semantics intentionally preserved from the reference:
 from collections.abc import Sequence
 import dataclasses
 import functools
+import os
 import typing as t
 
 import numpy as np
@@ -493,7 +494,10 @@ class ACC(Metric):
 
     This avoids materializing a chunk-shaped climatology on host and
     re-shipping it to HBM every chunk (the gather runs on device inside
-    the fused program).
+    the fused program).  Climatologies too large for HBM residency
+    (e.g. hourly 0.25° — WB2_CLIM_DEVICE_BYTES, default 2 GB) fall back
+    to a per-chunk host-side gather: only the chunk-shaped selection
+    ships to the device, like the reference's xarray `.sel`.
     """
     cache_key = (
         tuple(sorted(truth.keys())),
@@ -504,10 +508,10 @@ class ACC(Metric):
     cached = getattr(self, "_clim_device_cache", None)
     if cached is not None and cached[0] == cache_key:
       clim, hour_vals = cached[1], cached[2]
-      return {
-          "clim": clim,
-          "indices": self._gather_indices(forecast, hour_vals),
-      }
+      indices = self._gather_indices(forecast, hour_vals)
+      if clim is None:  # host-gather mode
+        return {"clim_chunk": self._host_gather(forecast, indices)}
+      return {"clim": clim, "indices": indices}
 
     clim = _get_climatology_chunk(self.climatology, truth)
     if "level" in forecast.sizes and "level" in clim.sizes:
@@ -532,6 +536,15 @@ class ACC(Metric):
     hour_vals = (
         np.asarray(hour_coord.data) if hour_coord is not None else None
     )
+    budget = float(os.environ.get("WB2_CLIM_DEVICE_BYTES", 2e9))
+    nbytes = sum(
+        4 * v.size for v in clim.variables_dict().values()
+    )
+    if nbytes > budget:
+      self._clim_host = clim
+      self._clim_device_cache = (cache_key, None, hour_vals)
+      indices = self._gather_indices(forecast, hour_vals)
+      return {"clim_chunk": self._host_gather(forecast, indices)}
     # move the climatology to device once and reuse it for all chunks
     try:
       clim = clim.to_jax()
@@ -543,14 +556,31 @@ class ACC(Metric):
         "indices": self._gather_indices(forecast, hour_vals),
     }
 
-  def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
-                             skipna=False):
-    clim = prepared["clim"]
-    indices = prepared["indices"]
+  def _host_gather(self, forecast, indices):
+    """Chunk-shaped climatology selection on host (lazy-read friendly)."""
     sel = {"dayofyear": indices["doy"]}
     if "hour" in indices:
       sel["hour"] = indices["hour"]
-    climatology_chunk = clim.isel(sel)
+    chunk = self._clim_host.isel(sel)
+    # materialize now so the engine ships plain arrays to the device
+    return chunk.copy(
+        data={
+            k: np.asarray(v.data)
+            for k, v in chunk.variables_dict().items()
+        }
+    )
+
+  def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
+                             skipna=False):
+    if "clim_chunk" in prepared:
+      climatology_chunk = prepared["clim_chunk"]
+    else:
+      clim = prepared["clim"]
+      indices = prepared["indices"]
+      sel = {"dayofyear": indices["doy"]}
+      if "hour" in indices:
+        sel["hour"] = indices["hour"]
+      climatology_chunk = clim.isel(sel)
     forecast_anom = forecast - climatology_chunk
     truth_anom = truth - climatology_chunk
     return _spatial_average(
@@ -572,12 +602,15 @@ class ACC(Metric):
     matching the reference's three independent `_spatial_average` calls.
     """
     del skipna
-    clim = prepared["clim"]
-    indices = prepared["indices"]
-    sel = {"dayofyear": indices["doy"]}
-    if "hour" in indices:
-      sel["hour"] = indices["hour"]
-    climatology_chunk = clim.isel(sel)
+    if "clim_chunk" in prepared:
+      climatology_chunk = prepared["clim_chunk"]
+    else:
+      clim = prepared["clim"]
+      indices = prepared["indices"]
+      sel = {"dayofyear": indices["doy"]}
+      if "hour" in indices:
+        sel["hour"] = indices["hour"]
+      climatology_chunk = clim.isel(sel)
     fa = forecast - climatology_chunk
     ta = truth - climatology_chunk
     num = fa * ta

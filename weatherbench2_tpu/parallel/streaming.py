@@ -546,7 +546,7 @@ def _build_pointwise_plan(jit_metrics, regions, forecast):
 
 
 def _pointwise_chunk_results(plan, metrics, f_c, t_c, prepared, skipna):
-  """Evaluate all pointwise-fused metrics with one kernel call.
+  """Evaluate all pointwise-fused metrics, one kernel call per metric.
 
   Returns (results_by_metric, leftover_names): metrics whose
   ``pointwise_chunk`` declines at trace time (missing variables/members)
@@ -593,20 +593,25 @@ def _pointwise_chunk_results(plan, metrics, f_c, t_c, prepared, skipna):
   results = {}
   if not manifest:
     return results, leftover
-  x = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
-  if plan["use_pallas"]:
-    sums, wsum, nanw = ops.fused_region_sums(x, region_w)
-  else:
-    sums, wsum, nanw = ops.fused_region_sums_reference(
-        x, jnp.asarray(region_w), xp=jnp
-    )
-  means_all = sums / wsum
-
-  col = 0
+  # One kernel call per metric (its variables' rows stacked): a single
+  # global concatenate would copy every metric's chunk-sized fields into
+  # one matrix — at 0.25° that extra copy alone is several GB of HBM.
+  row_iter = iter(rows)
   region_coord = xds.Variable(("region",), plan["region_names"])
   for mname, entries in manifest:
     metric = metrics[mname]
     nan_mode = metric.fused_nan_mode
+    m_rows = [next(row_iter) for _ in entries]
+    x = m_rows[0] if len(m_rows) == 1 else jnp.concatenate(m_rows, axis=0)
+    if plan["use_pallas"]:
+      sums, wsum, nanw = ops.fused_region_sums(x, region_w)
+    else:
+      sums, wsum, nanw = ops.fused_region_sums_reference(
+          x, jnp.asarray(region_w), xp=jnp
+      )
+    means_all = sums / wsum
+
+    col = 0
     ds = xds.Dataset({}, coords={"region": region_coord})
     for vname, other, other_shape, coords, b in entries:
       mcols = means_all[:, col:col + b]
@@ -667,15 +672,23 @@ def _chunk_slices(total: int, size: int):
     yield slice(start, min(start + size, total))
 
 
-def _auto_chunk_size(forecast, chunk_dim: str, batch: int) -> int:
+def _auto_chunk_size(
+    forecast, chunk_dim: str, batch: int, companions: int = 2
+) -> int:
   """Pick a chunk size targeting ~WB2_CHUNK_BYTES of HBM per chunk.
 
   Used when the caller gives no --input_chunks: one full-dataset "chunk"
   OOMs at official geometries, so size chunks to a budget (default 1.5 GB
-  of forecast payload; truth/climatology roughly double it, and HBM must
-  also hold the prefetched next chunk).
+  of forecast payload; truth roughly doubles it, and HBM must also hold
+  the prefetched next chunk).  ``companions`` counts the chunk-shaped
+  datasets in flight per chunk (forecast + truth = 2; +1 when a
+  climatology gathers per chunk instead of staying HBM-resident) — the
+  budget is scaled down accordingly so the steady-state footprint stays
+  roughly constant.
   """
   budget = float(os.environ.get("WB2_CHUNK_BYTES", 1.5e9))
+  if companions > 2:
+    budget *= 2.0 / companions
   total = forecast.sizes[chunk_dim]
   per_entry = 0
   for v in forecast.variables_dict().values():
@@ -826,7 +839,18 @@ def evaluate_streaming_multi(
   if chunk_dim in input_chunks:
     chunk_size = int(input_chunks[chunk_dim])
   else:
-    chunk_size = _auto_chunk_size(forecast, chunk_dim, batch)
+    companions = 2
+    if climatology is not None:
+      clim_bytes = sum(
+          4 * v.size for v in climatology.variables_dict().values()
+      )
+      if clim_bytes > float(
+          os.environ.get("WB2_CLIM_DEVICE_BYTES", 2e9)
+      ):
+        # the climatology will gather per chunk (ACC host-gather mode)
+        # and ride HBM alongside forecast + truth
+        companions = 3
+    chunk_size = _auto_chunk_size(forecast, chunk_dim, batch, companions)
   chunk_size = max(chunk_size, batch)
   if batch > 1:
     # batch-sharded device_put needs an evenly divisible chunk axis

@@ -449,8 +449,12 @@ def main(argv) -> None:
 
   climatology = None
   if CLIMATOLOGY_PATH.value:
+    # lazy: an official hourly 0.25-degree climatology is 100s of GB;
+    # ACC/SEEPS/threshold consumers gather bounded per-chunk slices
+    # (the reference's xr.open_zarr is dask-lazy for the same reason,
+    # reference evaluation.py:92-136 via evaluate.py:408)
     climatology = evaluation.make_latitude_increasing(
-        xds.open_zarr(CLIMATOLOGY_PATH.value)
+        xds.open_zarr(CLIMATOLOGY_PATH.value, lazy=True)
     )
 
   threshold_list = []

@@ -121,7 +121,13 @@ def test_acc_host_gather_fallback_matches_device_resident(monkeypatch):
   monkeypatch.setenv("WB2_CLIM_DEVICE_BYTES", "1")
   host_metric = metrics.ACC(climatology=clim)
   prepared = host_metric.prepare_chunk(fc, truth_sel)
-  assert "clim_chunk" in prepared  # fallback engaged
+  assert "clim_u" in prepared  # fallback engaged (deduped host-gather)
+  # the deduped block is at most the chunk's unique-pair count (bucketed)
+  n_entries = fc.sizes["init_time"] * fc.sizes["lead_time"]
+  assert prepared["clim_u"].sizes["__clim_upair"] <= -(-n_entries // 32) * 32
+  assert prepared["uinv"].sizes == {
+      "init_time": fc.sizes["init_time"], "lead_time": fc.sizes["lead_time"]
+  }
   host_res = host_metric.compute_chunk_prepared(fc, truth_sel, prepared)
   np.testing.assert_allclose(
       host_res["2m_temperature"].values,

@@ -126,7 +126,8 @@ def _run(tag, paths, probabilistic):
         regions=regions,
     )
   else:
-    clim = xds.open_zarr(cp)
+    # lazy like the CLI: host-gather ACC reads bounded per-chunk slices
+    clim = xds.open_zarr(cp, lazy=True)
     ec = config.Eval(
         metrics={
             "mse": metrics.MSE(),

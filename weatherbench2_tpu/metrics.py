@@ -510,7 +510,7 @@ class ACC(Metric):
       clim, hour_vals = cached[1], cached[2]
       indices = self._gather_indices(forecast, hour_vals)
       if clim is None:  # host-gather mode
-        return {"clim_chunk": self._host_gather(forecast, indices)}
+        return self._host_gather(forecast, indices)
       return {"clim": clim, "indices": indices}
 
     clim = _get_climatology_chunk(self.climatology, truth)
@@ -544,7 +544,7 @@ class ACC(Metric):
       self._clim_host = clim
       self._clim_device_cache = (cache_key, None, hour_vals)
       indices = self._gather_indices(forecast, hour_vals)
-      return {"clim_chunk": self._host_gather(forecast, indices)}
+      return self._host_gather(forecast, indices)
     # move the climatology to device once and reuse it for all chunks
     try:
       clim = clim.to_jax()
@@ -557,30 +557,76 @@ class ACC(Metric):
     }
 
   def _host_gather(self, forecast, indices):
-    """Chunk-shaped climatology selection on host (lazy-read friendly)."""
-    sel = {"dayofyear": indices["doy"]}
+    """Unique-(dayofyear, hour) climatology rows + device expansion map.
+
+    Within an init-chunked streaming chunk, the (dayofyear, hour) pairs
+    of its valid times repeat heavily across leads (e.g. a 12-hourly
+    climatology sees each pair ~once per day spanned, but the chunk has
+    init×lead entries).  Shipping a chunk-shaped selection therefore
+    moves ~5-6x more climatology bytes over host→HBM than needed.
+    Instead: gather the unique pairs ONCE per chunk (a bounded lazy
+    read), ship that small `__clim_upair`-stacked block, and expand it
+    on device with an integer take (`uinv`).  The reference's xarray
+    `.sel` (reference metrics.py:398-404) has no such dedup because its
+    chunks stay host-side."""
+    doy_da = indices["doy"]
+    doy = np.asarray(doy_da.data)
+    dims = doy_da.dims
     if "hour" in indices:
-      sel["hour"] = indices["hour"]
+      hour = np.asarray(indices["hour"].data)
+      pairs = np.stack([doy.ravel(), hour.ravel()], axis=1)
+      uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    else:
+      uniq, inv = np.unique(doy.ravel(), return_inverse=True)
+      uniq = uniq[:, None]
+    # pad the unique axis to a bucket so interior/edge chunks share one
+    # jit program shape (varying unique counts would recompile per chunk)
+    n_u = uniq.shape[0]
+    n_pad = -(-n_u // 32) * 32
+    if n_pad > n_u:
+      uniq = np.concatenate(
+          [uniq, np.repeat(uniq[-1:], n_pad - n_u, axis=0)], axis=0
+      )
+    sel = {
+        "dayofyear": xds.DataArray(
+            uniq[:, 0].astype(np.int32), dims=("__clim_upair",)
+        ),
+    }
+    if "hour" in indices:
+      sel["hour"] = xds.DataArray(
+          uniq[:, 1].astype(np.int32), dims=("__clim_upair",)
+      )
     chunk = self._clim_host.isel(sel)
     # materialize now so the engine ships plain arrays to the device
-    return chunk.copy(
+    clim_u = chunk.copy(
         data={
             k: np.asarray(v.data)
             for k, v in chunk.variables_dict().items()
         }
     )
+    uinv = xds.DataArray(
+        inv.reshape(doy.shape).astype(np.int32), dims=dims
+    )
+    return {"clim_u": clim_u, "uinv": uinv}
+
+  @staticmethod
+  def _prepared_clim_chunk(prepared):
+    """Chunk-shaped climatology from any prepared form (device-resident
+    indexed gather, deduped host-gather, or a pre-gathered chunk)."""
+    if "clim_u" in prepared:
+      return prepared["clim_u"].isel({"__clim_upair": prepared["uinv"]})
+    if "clim_chunk" in prepared:
+      return prepared["clim_chunk"]
+    clim = prepared["clim"]
+    indices = prepared["indices"]
+    sel = {"dayofyear": indices["doy"]}
+    if "hour" in indices:
+      sel["hour"] = indices["hour"]
+    return clim.isel(sel)
 
   def compute_chunk_prepared(self, forecast, truth, prepared, region=None,
                              skipna=False):
-    if "clim_chunk" in prepared:
-      climatology_chunk = prepared["clim_chunk"]
-    else:
-      clim = prepared["clim"]
-      indices = prepared["indices"]
-      sel = {"dayofyear": indices["doy"]}
-      if "hour" in indices:
-        sel["hour"] = indices["hour"]
-      climatology_chunk = clim.isel(sel)
+    climatology_chunk = self._prepared_clim_chunk(prepared)
     forecast_anom = forecast - climatology_chunk
     truth_anom = truth - climatology_chunk
     return _spatial_average(
@@ -602,15 +648,7 @@ class ACC(Metric):
     matching the reference's three independent `_spatial_average` calls.
     """
     del skipna
-    if "clim_chunk" in prepared:
-      climatology_chunk = prepared["clim_chunk"]
-    else:
-      clim = prepared["clim"]
-      indices = prepared["indices"]
-      sel = {"dayofyear": indices["doy"]}
-      if "hour" in indices:
-        sel["hour"] = indices["hour"]
-      climatology_chunk = clim.isel(sel)
+    climatology_chunk = self._prepared_clim_chunk(prepared)
     fa = forecast - climatology_chunk
     ta = truth - climatology_chunk
     num = fa * ta

@@ -847,9 +847,11 @@ def evaluate_streaming_multi(
       if clim_bytes > float(
           os.environ.get("WB2_CLIM_DEVICE_BYTES", 2e9)
       ):
-        # the climatology will gather per chunk (ACC host-gather mode)
-        # and ride HBM alongside forecast + truth
-        companions = 3
+        # the climatology gathers per chunk (ACC host-gather mode) and
+        # rides HBM alongside forecast + truth — but deduped to unique
+        # (dayofyear, hour) rows it is a small fraction of a chunk, so
+        # budget a half companion rather than a full one
+        companions = 2.5
     chunk_size = _auto_chunk_size(forecast, chunk_dim, batch, companions)
   chunk_size = max(chunk_size, batch)
   if batch > 1:

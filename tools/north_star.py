@@ -1,0 +1,561 @@
+"""North-star driver: the full official year at 0.25 degrees, executed.
+
+The official deterministic/probabilistic 2020 evaluation at 1440x721
+(reference protocol: /root/reference/docs/source/official-evaluation.md:546
+deterministic chunking, :887 the 50-member ENS suite) streams ~10^2..10^3
+GiB — more than this sandbox's free disk.  So the year is executed in
+month segments: each segment generates its synthetic stores, runs the real
+`scripts/evaluate.py --use_mesh` CLI end to end (zarr -> host -> HBM ->
+fused kernels -> accumulators -> result file), records wall/bytes/RSS, and
+deletes its input stores.  Segment results are exact (sum,count) partials
+of the year: every metric in these configs is a per-init quantity that the
+engine time-means, so the year value is the init-count-weighted mean of
+segment values (the same reduction the engine's own accumulators apply
+across chunks, weatherbench2_tpu/parallel/streaming.py).
+
+Idempotent: completed segments are recorded in NORTHSTAR.jsonl and skipped
+on re-run, so the driver survives restarts (and `--checkpoint_path` guards
+each in-flight segment).
+
+Usage:
+  python tools/north_star.py run det2_0p25 [--seg 2020-01 ...]
+  python tools/north_star.py run prob_0p25
+  python tools/north_star.py run official13_240
+  python tools/north_star.py run prob_240
+  python tools/north_star.py run official13_0p25
+  python tools/north_star.py combine det2_0p25
+"""
+import argparse
+import json
+import os
+import re
+import resource
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = os.environ.get("WB2_NORTHSTAR_CACHE", "/tmp/wb2_northstar")
+RESULTS = os.path.join(REPO, "NORTHSTAR.jsonl")
+ENV = {
+    **os.environ,
+    "PYTHONPATH": f"{REPO}:/root/.axon_site",
+    "JAX_COMPILATION_CACHE_DIR": "/tmp/wb2_jax_compile_cache",
+    "WB2_STREAM_VERBOSE": "1",
+    # synthetic noise is incompressible: skip blosc on the write path
+    "WB2_ZARR_COMPRESSOR": "none",
+}
+
+_OFFICIAL_3D = [
+    "geopotential", "temperature", "specific_humidity",
+    "u_component_of_wind", "v_component_of_wind",
+]
+_OFFICIAL_2D = [
+    "2m_temperature", "10m_u_component_of_wind",
+    "10m_v_component_of_wind", "mean_sea_level_pressure",
+    "total_precipitation_24hr",
+]
+
+
+class Pool:
+  """A reusable pool of N(0,1) float32 noise.
+
+  Single-core standard_normal runs ~0.2 GiB/s here while the disk writes
+  at ~1.7 GiB/s; generating each block fresh would make datagen the
+  critical path of a ~TB year.  Blocks are random-offset views into one
+  large pool: bytes differ per block (so neither zarr dedup nor the
+  tunnel's transfer memoization can shortcut them) at memcpy cost.
+  """
+
+  def __init__(self, gib=6, seed=0):
+    self.rng = np.random.default_rng(seed)
+    self.buf = self.rng.standard_normal(
+        (gib << 30) // 4, dtype=np.float32
+    )
+
+  def block(self, shape):
+    n = int(np.prod(shape))
+    if n > self.buf.size:
+      raise ValueError(f"block {shape} exceeds pool")
+    o = int(self.rng.integers(0, self.buf.size - n + 1))
+    return self.buf[o:o + n].reshape(shape)
+
+
+_POOL = None
+
+
+def pool():
+  global _POOL
+  if _POOL is None:
+    _POOL = Pool(gib=int(os.environ.get("WB2_POOL_GIB", "6")))
+  return _POOL
+
+
+def write_pool_random(ds, path, chunks, block_dims):
+  """Write `ds`-shaped pool noise to zarr, streaming in blocks.
+
+  block_dims maps dim -> block size; the cartesian block grid is written
+  via RegionWriter so peak RAM is one block.
+  """
+  from weatherbench2_tpu import xds
+
+  if os.path.exists(os.path.join(path, ".zmetadata")):
+    return
+  template = xds.Dataset(
+      {k: xds.stub_variable(v.dims, v.sizes, np.float32)
+       for k, v in ds.variables_dict().items()},
+      coords=dict(ds.coords_dict()),
+  )
+  writer = xds.RegionWriter(
+      path, template, chunks=chunks, compressor="none"
+  )
+  for name, v in ds.variables_dict().items():
+    dims = [d for d in v.dims if d in block_dims]
+    grids = [
+        [slice(s, min(s + block_dims[d], v.sizes[d]))
+         for s in range(0, v.sizes[d], block_dims[d])]
+        for d in dims
+    ]
+    import itertools
+    for combo in itertools.product(*grids) if grids else [()]:
+      sel = dict(zip(dims, combo))
+      key = tuple(sel.get(d, slice(None)) for d in v.dims)
+      shape = [
+          (sel[d].stop - sel[d].start) if d in sel else v.sizes[d]
+          for d in v.dims
+      ]
+      writer.write_array(name, key, pool().block(shape))
+  writer.finish()
+
+
+def _nbytes(ds):
+  return sum(4 * v.size for v in ds.variables_dict().values())
+
+
+def month_bounds(seg):
+  """(start, stop_exclusive) date strings for a 'YYYY-MM' segment."""
+  y, m = int(seg[:4]), int(seg[5:7])
+  start = np.datetime64(f"{y:04d}-{m:02d}-01")
+  stop = (start.astype("datetime64[M]") + 1).astype("datetime64[D]")
+  return str(start), str(stop)
+
+
+def _done_segments():
+  done = set()
+  if os.path.exists(RESULTS):
+    with open(RESULTS) as f:
+      for line in f:
+        row = json.loads(line)
+        if row.get("status") == "ok":
+          done.add((row["workload"], row["segment"]))
+  return done
+
+
+def _record(row):
+  with open(RESULTS, "a") as f:
+    f.write(json.dumps(row) + "\n")
+  print("RECORD", json.dumps(row), flush=True)
+
+
+def _parse_phase_log(log_path):
+  """Aggregate WB2_STREAM_VERBOSE phases: prep+h2d s, exec s, h2d bytes."""
+  prep = execs = 0.0
+  fbytes = tbytes = pbytes = 0
+  nchunks = 0
+  try:
+    with open(log_path) as f:
+      for line in f:
+        m = re.search(r"host prepare \+ h2d \[([\d.]+)s\]", line)
+        if m:
+          prep += float(m.group(1))
+          nchunks += 1
+        m = re.search(r"program dispatch \[([\d.]+)s\]", line)
+        if m:
+          execs += float(m.group(1))
+        m = re.search(
+            r"h2d bytes forecast=(\d+) truth=(\d+) prepared=(\d+)", line
+        )
+        if m:
+          fbytes += int(m.group(1))
+          tbytes += int(m.group(2))
+          pbytes += int(m.group(3))
+  except OSError:
+    pass
+  return {
+      "chunks": nchunks,
+      "prep_h2d_s": round(prep, 1),
+      "dispatch_s": round(execs, 1),
+      "h2d_gib": round((fbytes + tbytes + pbytes) / 2**30, 2),
+      "h2d_prepared_gib": round(pbytes / 2**30, 3),
+  }
+
+
+def _run_cli(args_list, log_path, checkpoint=None):
+  cmd = [sys.executable,
+         os.path.join(REPO, "scripts/evaluate.py")] + args_list
+  if checkpoint:
+    cmd += [f"--checkpoint_path={checkpoint}", "--checkpoint_every=4"]
+  before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+  t0 = time.perf_counter()
+  with open(log_path, "w") as log:
+    proc = subprocess.run(cmd, env=ENV, stdout=log, stderr=log)
+  wall = time.perf_counter() - t0
+  # ru_maxrss (KiB on linux) is a high-water mark over ALL children; it
+  # only reflects this CLI if it exceeded every earlier child's peak —
+  # still a valid upper bound for "did the run stay host-memory-bounded"
+  after = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+  rss_kb = max(before, after)
+  if proc.returncode != 0:
+    with open(log_path) as f:
+      tail = f.readlines()[-30:]
+    print("".join(tail), file=sys.stderr)
+    raise RuntimeError(f"CLI failed rc={proc.returncode}, log={log_path}")
+  return wall, rss_kb
+
+
+# ---------------------------------------------------------------------------
+# workload definitions
+# ---------------------------------------------------------------------------
+
+def _specs(res_deg, three_d, two_d, levels):
+  return dict(
+      variables_3d=three_d,
+      variables_2d=two_d,
+      levels=tuple(levels),
+      spatial_resolution_in_degrees=res_deg,
+  )
+
+
+def _gen_clim(path, specs, extra_3d=(), extra_2d=()):
+  from weatherbench2_tpu import schema
+
+  sp = dict(specs)
+  sp["variables_3d"] = list(sp["variables_3d"]) + list(extra_3d)
+  sp["variables_2d"] = list(sp["variables_2d"]) + list(extra_2d)
+  clim = schema.mock_hourly_climatology_data(hour_interval=12, **sp)
+  write_pool_random(
+      clim, path, {"dayofyear": 46},
+      {"dayofyear": 46} if specs["spatial_resolution_in_degrees"] > 1
+      else {"dayofyear": 8},
+  )
+  return clim
+
+
+def _gen_month(seg, out_dir, specs, ensemble=None, truth_res="6 hours"):
+  """Generate forecast + truth stores for one month segment."""
+  from weatherbench2_tpu import schema
+
+  start, stop = month_bounds(seg)
+  truth_stop = str(np.datetime64(stop) + np.timedelta64(11, "D"))
+  truth = schema.mock_truth_data(
+      time_start=start, time_stop=truth_stop,
+      time_resolution=truth_res, **specs,
+  )
+  forecast = schema.mock_forecast_data(
+      time_start=start, time_stop=stop, time_resolution="12 hours",
+      lead_start="0 days", lead_stop="10 days",
+      lead_resolution="12 hours", ensemble_size=ensemble, **specs,
+  )
+  tp = os.path.join(out_dir, "truth.zarr")
+  fp = os.path.join(out_dir, "forecast.zarr")
+  t0 = time.perf_counter()
+  write_pool_random(truth, tp, {"time": 16}, {"time": 16})
+  fc_blocks = {"time": 2}
+  if ensemble:
+    fc_blocks = {"time": 1, "realization": 10}
+  write_pool_random(
+      forecast, fp,
+      {"time": 1, "prediction_timedelta": -1} if ensemble
+      else {"time": 2, "prediction_timedelta": -1},
+      fc_blocks,
+  )
+  gen_s = time.perf_counter() - t0
+  return fp, tp, _nbytes(forecast) + _nbytes(truth), gen_s, forecast
+
+
+WORKLOADS = {}
+
+
+def workload(name):
+  def deco(fn):
+    WORKLOADS[name] = fn
+    return fn
+  return deco
+
+
+def _months(year=2020):
+  return [f"{year}-{m:02d}" for m in range(1, 13)]
+
+
+@workload("det2_0p25")
+def det2_0p25(seg):
+  """Deterministic year at 0.25 deg: z500 + t2m, mse/acc/bias/mae,
+  all predefined regions, ACC vs a 12-hourly climatology (host-gather
+  dedup path), official init_time chunk protocol."""
+  res = float(os.environ.get("WB2_NS_RES", "0.25"))  # smoke override
+  specs = _specs(res, ["geopotential"], ["2m_temperature"], (500,))
+  seg_dir = os.path.join(CACHE, "det2_0p25", seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  clim_path = os.path.join(CACHE, "det2_0p25", "clim.zarr")
+  _gen_clim(clim_path, specs)
+  fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs)
+  start, stop = month_bounds(seg)
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--forecast_path={fp}", f"--obs_path={tp}",
+      f"--climatology_path={clim_path}",
+      f"--output_dir={seg_dir}",
+      "--eval_configs=deterministic", "--use_mesh", "--regions=all",
+      "--variables=geopotential,2m_temperature", "--levels=500",
+      f"--time_start={start}",
+      f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+      "--input_chunks=init_time=8",
+  ], log, checkpoint=os.path.join(seg_dir, "ckpt"))
+  return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
+              log=log, result=os.path.join(seg_dir, "deterministic.nc"),
+              stores=[fp, tp])
+
+
+@workload("prob_0p25")
+def prob_0p25(seg):
+  """50-member ENS month at 0.25 deg: official probabilistic +
+  ensemble_binary configs grouped (one chunk stream feeds both),
+  2m_temperature, quantile thresholds 0.1/0.9."""
+  specs = _specs(0.25, [], ["2m_temperature"], ())
+  seg_dir = os.path.join(CACHE, "prob_0p25", seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  qclim_path = os.path.join(CACHE, "prob_0p25", "qclim.zarr")
+  _gen_qclim(qclim_path, specs, ["2m_temperature"])
+  fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs, ensemble=50)
+  start, stop = month_bounds(seg)
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--forecast_path={fp}", f"--obs_path={tp}",
+      f"--climatology_path={qclim_path}",
+      f"--output_dir={seg_dir}",
+      "--eval_configs=probabilistic,ensemble_binary",
+      "--use_mesh", "--regions=all",
+      "--variables=2m_temperature",
+      "--quantile_thresholds=0.1,0.9",
+      f"--time_start={start}",
+      f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+      "--input_chunks=init_time=1,lead_time=7",
+  ], log)
+  return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
+              log=log, result=os.path.join(seg_dir, "probabilistic.nc"),
+              stores=[fp, tp])
+
+
+def _gen_qclim(path, specs, variables):
+  """Quantile climatology for threshold metrics: <var>_quantile with a
+  quantile dim, plus mean/std so GaussianQuantileThreshold also works."""
+  from weatherbench2_tpu import schema, xds
+
+  if os.path.exists(os.path.join(path, ".zmetadata")):
+    return
+  base = schema.mock_hourly_climatology_data(hour_interval=12, **specs)
+  data_vars = {}
+  for v in variables:
+    var = base.variables_dict()[v]
+    data_vars[f"{v}_quantile"] = xds.Variable(
+        ("quantile",) + var.dims,
+        np.zeros((2,) + var.shape, np.float32),
+    )
+    data_vars[v] = var
+    data_vars[f"{v}_std"] = var
+  ds = xds.Dataset(
+      data_vars,
+      coords={**base.coords_dict(),
+              "quantile": xds.Variable(("quantile",),
+                                       np.array([0.1, 0.9]))},
+  )
+  write_pool_random(ds, path, {"dayofyear": 46}, {"dayofyear": 8})
+
+
+@workload("official13_240")
+def official13_240(seg):
+  """FULL official deterministic config, one month at 240x121: 13
+  variables x 3 levels, wind-vector errors, derived wind_speed, SEEPS,
+  13 predefined regions (reference official-evaluation.md:281)."""
+  return _official13(seg, 1.5, "official13_240", init_chunk=8)
+
+
+@workload("official13_0p25")
+def official13_0p25(seg):
+  """FULL official deterministic config at 1440x721 (the reference's
+  100-worker Dataflow headline job, official-evaluation.md:546)."""
+  return _official13(seg, 0.25, "official13_0p25", init_chunk=2)
+
+
+def _official13(seg, res, name, init_chunk):
+  specs = _specs(res, _OFFICIAL_3D, _OFFICIAL_2D, (500, 700, 850))
+  seg_dir = os.path.join(CACHE, name, seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  clim_path = os.path.join(CACHE, name, "clim.zarr")
+  _gen_clim(
+      clim_path, specs, extra_3d=["wind_speed"],
+      extra_2d=["total_precipitation_24hr_seeps_threshold",
+                "total_precipitation_24hr_seeps_dry_fraction"],
+  )
+  fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs)
+  start, stop = month_bounds(seg)
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--forecast_path={fp}", f"--obs_path={tp}",
+      f"--climatology_path={clim_path}",
+      f"--output_dir={seg_dir}",
+      "--eval_configs=deterministic", "--use_mesh", "--regions=all",
+      "--variables=" + ",".join(_OFFICIAL_3D + _OFFICIAL_2D),
+      "--derived_variables=wind_speed", "--compute_seeps",
+      "--levels=500,700,850",
+      f"--time_start={start}",
+      f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+      f"--input_chunks=init_time={init_chunk}",
+  ], log, checkpoint=os.path.join(seg_dir, "ckpt"))
+  return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
+              log=log, result=os.path.join(seg_dir, "deterministic.nc"),
+              stores=[fp, tp])
+
+
+@workload("prob_240")
+def prob_240(seg):
+  """50-member ENS official probabilistic + ensemble_binary at 240x121
+  (the official ENS protocol geometry, official-evaluation.md:887)."""
+  specs = _specs(1.5, [], ["2m_temperature"], ())
+  seg_dir = os.path.join(CACHE, "prob_240", seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  qclim_path = os.path.join(CACHE, "prob_240", "qclim.zarr")
+  _gen_qclim(qclim_path, specs, ["2m_temperature"])
+  fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs, ensemble=50)
+  start, stop = month_bounds(seg)
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--forecast_path={fp}", f"--obs_path={tp}",
+      f"--climatology_path={qclim_path}",
+      f"--output_dir={seg_dir}",
+      "--eval_configs=probabilistic,ensemble_binary",
+      "--use_mesh", "--regions=all",
+      "--variables=2m_temperature",
+      "--quantile_thresholds=0.1,0.9",
+      f"--time_start={start}",
+      f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+  ], log)
+  return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
+              log=log, result=os.path.join(seg_dir, "probabilistic.nc"),
+              stores=[fp, tp])
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def run(workload_name, segments=None):
+  fn = WORKLOADS[workload_name]
+  done = _done_segments()
+  segments = segments or _months()
+  for seg in segments:
+    if (workload_name, seg) in done:
+      print(f"skip {workload_name} {seg} (done)", flush=True)
+      continue
+    print(f"=== {workload_name} {seg} ===", flush=True)
+    t_seg = time.perf_counter()
+    try:
+      out = fn(seg)
+    except Exception as e:  # noqa: BLE001 - record and continue
+      _record({"workload": workload_name, "segment": seg,
+               "status": "error", "error": str(e)[:500]})
+      raise
+    phases = _parse_phase_log(out["log"])
+    gib = out["in_bytes"] / 2**30
+    row = {
+        "workload": workload_name,
+        "segment": seg,
+        "status": "ok",
+        "wall_s": round(out["wall"], 1),
+        "input_gib": round(gib, 2),
+        "gib_per_s": round(gib / out["wall"], 3),
+        "datagen_s": round(out["gen_s"], 1),
+        "peak_rss_gib": round((out["rss_kb"] or 0) / 2**20, 2),
+        "segment_total_s": round(time.perf_counter() - t_seg, 1),
+        **phases,
+    }
+    _record(row)
+    for store in out["stores"]:
+      shutil.rmtree(store, ignore_errors=True)
+
+
+def combine(workload_name):
+  """Init-count-weighted mean of segment results -> the year result."""
+  from weatherbench2_tpu import xds
+  from weatherbench2_tpu.evaluation import merge_metric_results
+
+  rows = []
+  with open(RESULTS) as f:
+    for line in f:
+      row = json.loads(line)
+      if row["workload"] == workload_name and row["status"] == "ok":
+        rows.append(row)
+  segs = sorted({r["segment"] for r in rows})
+  from weatherbench2_tpu.xds import io_netcdf
+
+  weighted = None
+  total_w = 0.0
+  per_seg = {}
+  result_name = None
+  for seg in segs:
+    seg_dir = os.path.join(CACHE, workload_name, seg)
+    for cand in ("deterministic.nc", "probabilistic.nc"):
+      p = os.path.join(seg_dir, cand)
+      if os.path.exists(p):
+        result_name = result_name or cand
+        ds = io_netcdf.open_netcdf(p)
+        start, stop = month_bounds(seg)
+        n_init = (np.datetime64(stop) - np.datetime64(start)) \
+            // np.timedelta64(12, "h")
+        w = float(n_init)
+        per_seg[seg] = ds
+        if weighted is None:
+          weighted = ds * w
+        else:
+          weighted = weighted + ds * w
+        total_w += w
+        break
+  if weighted is None:
+    raise SystemExit(f"no segment results for {workload_name}")
+  year = weighted / total_w
+  out_path = os.path.join(CACHE, workload_name, "year_" + result_name)
+  xds.to_netcdf(year, out_path)
+  print(f"combined {len(per_seg)} segments ({int(total_w)} inits) "
+        f"-> {out_path}")
+  # wall-clock roll-up
+  wall = sum(r["wall_s"] for r in rows)
+  gib = sum(r["input_gib"] for r in rows)
+  print(json.dumps({
+      "workload": workload_name, "segments": len(rows),
+      "total_wall_s": round(wall, 1), "total_input_gib": round(gib, 1),
+      "gib_per_s": round(gib / wall, 3) if wall else None,
+      "total_datagen_s": round(sum(r["datagen_s"] for r in rows), 1),
+  }))
+  return year
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("cmd", choices=["run", "combine"])
+  ap.add_argument("workload", choices=sorted(WORKLOADS))
+  ap.add_argument("--seg", nargs="*", default=None)
+  args = ap.parse_args()
+  os.makedirs(CACHE, exist_ok=True)
+  if args.cmd == "run":
+    run(args.workload, args.seg)
+  else:
+    combine(args.workload)
+
+
+if __name__ == "__main__":
+  main()

@@ -147,7 +147,10 @@ class StreamingState:
   def save(self, path: str) -> None:
     import jax
 
-    host = jax.tree_util.tree_map(np.asarray, (self.sums, self.counts))
+    # ONE batched device_get: per-leaf np.asarray would pay a device
+    # round-trip per metric x variable leaf (minutes over a remote
+    # tunnel), the batched form pays one
+    host = jax.device_get((self.sums, self.counts))
     with open(path, "wb") as f:
       pickle.dump(
           {"sums": host[0], "counts": host[1],
@@ -1090,6 +1093,28 @@ def evaluate_streaming_multi(
     f_dev = _to_device(_normalize_any(f_chunk, chunk_dim), sharding_fn)
     t_dev = _to_device(_normalize_any(t_chunk, chunk_dim), sharding_fn)
     p_dev = _to_device(_normalize_any(prepared, chunk_dim), sharding_fn)
+    if _VERBOSE:
+      # byte accounting for the h2d stream: forecast/truth payloads plus
+      # everything prepare_chunk ships (e.g. ACC's deduped climatology
+      # rows) — lets a run assert how many bytes each companion added
+      def _nb(obj):
+        if isinstance(obj, xds.Dataset):
+          return sum(_nb(v) for v in obj.variables_dict().values())
+        if isinstance(obj, (xds.DataArray, xds.Variable)):
+          data = obj.data if hasattr(obj, "data") else obj
+          return int(np.asarray(data).nbytes) if not hasattr(
+              data, "nbytes"
+          ) else int(data.nbytes)
+        if isinstance(obj, dict):
+          return sum(_nb(v) for v in obj.values())
+        if isinstance(obj, (list, tuple)):
+          return sum(_nb(v) for v in obj)
+        return int(getattr(obj, "nbytes", 0))
+
+      _vlog(
+          f"chunk {ci}: h2d bytes forecast={_nb(f_chunk)} "
+          f"truth={_nb(t_chunk)} prepared={_nb(prepared)}"
+      )
     return ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev, time_mask
 
   lead_results = []
@@ -1133,6 +1158,15 @@ def evaluate_streaming_multi(
 
     depth = max(1, int(os.environ.get("WB2_PREFETCH", "2")))
     pool = _futures.ThreadPoolExecutor(max_workers=depth)
+    ckpt_pool = (
+        _futures.ThreadPoolExecutor(max_workers=1)
+        if checkpoint_path and checkpoint_every else None
+    )
+    ckpt_futures: list = []
+
+    def _ckpt_wait():
+      while ckpt_futures:
+        ckpt_futures.pop(0).result()
     pending = [
         pool.submit(_prepare_one, ci, sl, lead_sl)
         for ci, sl in chunk_list[:depth]
@@ -1200,12 +1234,30 @@ def evaluate_streaming_multi(
             (ci + 1) % checkpoint_every == 0
         ):
           only = next(iter(eval_configs))
-          StreamingState(
+          snap = StreamingState(
               sums_acc[only], counts_acc[only], ci + 1,
               chunk_size=chunk_size, total=total,
-          ).save(checkpoint_path)
+          )
+
+          # async save: the device_get inside save() drains the device
+          # queue, which would stall the prefetch pipeline for the
+          # duration of every queued remote execution; the accumulators
+          # are immutable jax arrays so a background thread can fetch
+          # and write them while streaming continues.  One worker +
+          # os.replace keeps saves ordered and the file always whole.
+          def _save_snapshot(s=snap):
+            tmp = checkpoint_path + ".tmp"
+            s.save(tmp)
+            os.replace(tmp, checkpoint_path)
+
+          if ckpt_pool is not None:
+            _ckpt_wait()  # at most one save in flight
+            ckpt_futures.append(ckpt_pool.submit(_save_snapshot))
     finally:
       pool.shutdown(wait=True)
+      if ckpt_pool is not None:
+        _ckpt_wait()
+        ckpt_pool.shutdown(wait=True)
 
     # fetch all configs' accumulators to host in one batched device_get
     t0 = time.perf_counter()

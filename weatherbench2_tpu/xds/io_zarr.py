@@ -96,6 +96,33 @@ def kvstore_spec(path: str, child: str = ""):
   raise ValueError(f"unsupported storage scheme in {path!r}")
 
 
+_COMPRESSORS = {
+    # bit-shuffled zstd: best ratio for smooth geophysical fields
+    "zstd3": {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2},
+    # fast path: high-entropy data (ensembles, synthetic noise) gains
+    # nothing from zstd but pays its single-core (de)compression cost
+    "lz4": {"id": "blosc", "cname": "lz4", "clevel": 1, "shuffle": 0},
+    "none": None,
+}
+
+
+def default_compressor(compressor="default"):
+  """Resolve a compressor name to zarr metadata (reference encodes via
+  xarray/zarr `encoding=`; here WB2_ZARR_COMPRESSOR or an explicit
+  writer argument picks from _COMPRESSORS)."""
+  if compressor == "default":
+    compressor = os.environ.get("WB2_ZARR_COMPRESSOR", "zstd3")
+  if isinstance(compressor, str):
+    try:
+      return _COMPRESSORS[compressor]
+    except KeyError:
+      raise ValueError(
+          f"unknown compressor {compressor!r}; "
+          f"options: {sorted(_COMPRESSORS)}"
+      ) from None
+  return compressor
+
+
 def _array_spec(path: str, name: str, metadata=None, create=False,
                 delete_existing=False) -> dict:
   spec: dict[str, Any] = {
@@ -261,6 +288,7 @@ def to_zarr(
     path: str,
     chunks: Optional[Mapping[str, int]] = None,
     mode: str = "w",
+    compressor="default",
 ) -> None:
   """Write a Dataset to a zarr v2 store (local path or gs/s3/http URL)."""
   if not is_remote(path):
@@ -305,8 +333,7 @@ def to_zarr(
         "shape": list(data.shape),
         "chunks": chunk_shape if data.ndim else [],
         "dtype": _dtype_str(data.dtype),
-        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
-                       "shuffle": 2},
+        "compressor": default_compressor(compressor),
         "fill_value": None,
         "filters": None,
         "order": "C",
@@ -339,6 +366,7 @@ def create_zarr_template(
     ds: core.Dataset,
     path: str,
     chunks: Optional[Mapping[str, int]] = None,
+    compressor="default",
 ) -> None:
   """Create a zarr store with metadata and coords but unwritten data vars.
 
@@ -372,8 +400,7 @@ def create_zarr_template(
         "shape": list(data.shape),
         "chunks": [max(1, s) for s in data.shape] if data.ndim else [],
         "dtype": _dtype_str(data.dtype),
-        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
-                       "shuffle": 2},
+        "compressor": default_compressor(compressor),
         "fill_value": None,
         "filters": None,
         "order": "C",
@@ -408,8 +435,7 @@ def create_zarr_template(
         "shape": shape,
         "chunks": chunk_shape,
         "dtype": _dtype_str(values_dtype),
-        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
-                       "shuffle": 2},
+        "compressor": default_compressor(compressor),
         "fill_value": "NaN" if is_float else None,
         "filters": None,
         "order": "C",

@@ -155,6 +155,7 @@ class RegionWriter:
       chunks: Optional[Mapping[str, int]] = None,
       max_inflight: int = 8,
       stream_chunks: Optional[Mapping[str, int]] = None,
+      compressor="default",
   ):
     """``chunks`` sets the store chunking; when absent, ``stream_chunks``
     (the streaming block sizes) is used so each region write lands on
@@ -167,7 +168,9 @@ class RegionWriter:
     if not chunks:
       chunks = {k: v for k, v in (stream_chunks or {}).items()
                 if v not in (-1, None)}
-    io_zarr.create_zarr_template(template, path, chunks=chunks or None)
+    io_zarr.create_zarr_template(
+        template, path, chunks=chunks or None, compressor=compressor
+    )
     self._tvars = template.variables_dict()
     self._handles: dict = {}
 

@@ -45,7 +45,8 @@ def _setup(tmp_path, seed, nan_frac=0.0, ensemble=None):
   return tp, fp
 
 
-def _run_both(tmp_path, tp, fp, eval_config, by_init, skipna, chunk, tag):
+def _run_both(tmp_path, tp, fp, eval_config, by_init, skipna, chunk, tag,
+              rtol=1e-5):
   dc_mem = config.Data(
       selection=config.Selection(
           variables=["geopotential", "2m_temperature"],
@@ -78,7 +79,7 @@ def _run_both(tmp_path, tp, fp, eval_config, by_init, skipna, chunk, tag):
     np.testing.assert_allclose(
         a[k].values,
         b[k].transpose(*a[k].dims).values,
-        rtol=1e-5,
+        rtol=rtol,
         atol=1e-7,
         err_msg=f"{tag}:{k}",
         equal_nan=True,
@@ -121,6 +122,35 @@ def test_parity_ensemble_with_nans(tmp_path, skipna):
   )
   _run_both(tmp_path, tp, fp, ec, True, skipna, chunk=4,
             tag=f"ens{skipna}")
+
+
+@pytest.mark.parametrize("skipna", [False, True])
+def test_parity_prob_fused_skipna_50_members(tmp_path, skipna):
+  """Full CRPS-family suite at the official 50-member size with NaNs in
+  both skipna modes: the fused member pass (per-cell valid counts under
+  skipna) must match the generic in-memory loop (reference semantics:
+  metrics.py:611-846 with xarray skipna)."""
+  tp, fp = _setup(tmp_path, seed=31, nan_frac=0.02, ensemble=50)
+  ec = config.Eval(
+      metrics={
+          "crps": metrics.CRPS(),
+          "crps_spread": metrics.CRPSSpread(),
+          "crps_skill": metrics.CRPSSkill(),
+          "ensemble_mean_mse": metrics.EnsembleMeanMSE(),
+          "debiased_ensemble_mean_mse": metrics.DebiasedEnsembleMeanMSE(),
+          "ensemble_variance": metrics.EnsembleVariance(),
+      },
+      regions={
+          "global": SliceRegion(),
+          "et": ExtraTropicalRegion(),
+      },
+  )
+  # rtol 1e-4: the fused tier accumulates in float32 on device; at 50
+  # members the PWM sum carries coefficients up to +/-(M-1) with heavy
+  # cancellation, so ~1e-5 relative noise vs the float64 host loop is
+  # expected, not a semantics difference
+  _run_both(tmp_path, tp, fp, ec, True, skipna, chunk=4,
+            tag=f"p50{skipna}", rtol=1e-4)
 
 
 @pytest.mark.parametrize("skipna", [False, True])

@@ -151,8 +151,14 @@ def _protocol_cases(env):
           metrics.GaussianBrierScore(thresholds=env["thr"]), "gauss"
       ),
       "gaussian_rps": (metrics.GaussianRPS(thresholds=env["thr"]), "gauss"),
+      "gaussian_ignorance": (
+          metrics.GaussianIgnoranceScore(thresholds=env["thr"]), "gauss"
+      ),
       "ens_brier": (
           metrics.EnsembleBrierScore(thresholds=env["thr"]), "ens"
+      ),
+      "ens_ignorance": (
+          metrics.EnsembleIgnoranceScore(thresholds=env["thr"]), "ens"
       ),
       "ens_debiased_brier": (
           metrics.DebiasedEnsembleBrierScore(thresholds=env["thr"]), "ens"
@@ -233,8 +239,8 @@ def test_partition_assigns_tiers():
       "brier": metrics.EnsembleBrierScore(thresholds=thr),
       "rps": metrics.EnsembleRPS(thresholds=thr),
       "es": metrics.EnergyScore(),
-      # ignorance scores can emit -Inf fields, which a zero region weight
-      # cannot mask inside the kernel dot product -> generic tier
+      # ignorance scores emit +Inf fields; they ride the pointwise tier
+      # via inf-sanitized rows + indicator rows (metrics._inf_safe_fields)
       "ign": metrics.EnsembleIgnoranceScore(thresholds=thr),
   }
   det, prob, pw, generic = streaming._partition_fused(
@@ -242,8 +248,8 @@ def test_partition_assigns_tiers():
   )
   assert list(det["stat_of"]) == ["mse"]
   assert list(prob["stat_of"]) == ["crps"]
-  assert pw["names"] == ["brier", "rps", "es"]
-  assert list(generic) == ["ign"]
+  assert pw["names"] == ["brier", "rps", "es", "ign"]
+  assert list(generic) == []
 
   # spatial sharding disables every fused tier
   det, prob, pw, generic = streaming._partition_fused(

@@ -1161,6 +1161,44 @@ def _binarize_gt(ds: xds.Dataset, threshold: xds.Dataset) -> xds.Dataset:
   return (ds > threshold).astype(np.float64)
 
 
+_PINF_SUFFIX = "__pinf"
+
+
+def _inf_safe_fields(fields: xds.Dataset) -> xds.Dataset:
+  """Replace ±inf cells with 0 and record them in companion indicator rows.
+
+  Ignorance scores are -log(probability) and hit +inf wherever the
+  forecast assigns probability zero to the observed category.  Inf cells
+  cannot enter the fused region kernel: a zero region weight times inf is
+  NaN inside the dot product, poisoning regions that exclude the cell.
+  The indicator row rides the same kernel pass; ``_inf_safe_finalize``
+  restores +inf for any region that actually contains an inf cell —
+  matching the reference's xarray region mean (reference
+  metrics.py:941-1060, where a zero-probability cell makes the regional
+  ignorance infinite).  NaN cells pass through untouched (isinf(nan) is
+  false), so the tier's NaN accounting is unaffected.
+  """
+  out = xds.Dataset({}, coords=dict(fields.coords_dict()))
+  for name in fields.keys():
+    v = fields[name]
+    is_inf = (abs(v) == np.inf).astype(np.float64)
+    out[name] = xds.where(is_inf, 0.0, v)
+    out[name + _PINF_SUFFIX] = is_inf
+  return out.assign_attrs(**fields.attrs)
+
+
+def _inf_safe_finalize(means: xds.Dataset) -> xds.Dataset:
+  out = xds.Dataset({}, coords=dict(means.coords_dict()))
+  for name in means.keys():
+    if name.endswith(_PINF_SUFFIX):
+      continue
+    restored = xds.where(
+        means[name + _PINF_SUFFIX] > 0, np.inf, means[name]
+    )
+    out[name] = restored
+  return out.assign_attrs(**means.attrs)
+
+
 def _compute_gaussian_brier_score(forecast, truth, threshold):
   """Brier score for a Gaussian forecast distribution."""
   truth_probability = _binarize_gt(truth, threshold)
@@ -1213,11 +1251,26 @@ def _compute_gaussian_ignorance_score(forecast, truth, threshold):
 class GaussianIgnoranceScore(ThresholdMetric):
   """Ignorance score of a Gaussian forecast at climatological thresholds."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         _compute_gaussian_ignorance_score,
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
     )
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    del skipna
+    if not _gaussian_var_pairs(forecast):
+      return None
+    fields = self._pointwise_threshold_fields(
+        _compute_gaussian_ignorance_score, forecast, truth, prepared
+    )
+    return None if fields is None else _inf_safe_fields(fields)
+
+  def finalize_fused(self, means, skipna=False):
+    del skipna
+    return _inf_safe_finalize(means)
 
 
 def _compute_gaussian_rps_part(forecast, truth, threshold):
@@ -1619,6 +1672,8 @@ def _compute_ignorance_score(forecast, truth, threshold, ensemble_dim,
 class EnsembleIgnoranceScore(EnsembleMetric, ThresholdMetric):
   """Ignorance score of an ensemble forecast at climatological thresholds."""
 
+  supports_pointwise_fused: t.ClassVar[bool] = True
+
   def compute_chunk(self, forecast, truth, region=None, skipna=False):
     return self._map_over_thresholds(
         functools.partial(
@@ -1628,6 +1683,23 @@ class EnsembleIgnoranceScore(EnsembleMetric, ThresholdMetric):
         ),
         forecast, truth, region=region, skipna=skipna, spatial_agg=True,
     )
+
+  def pointwise_chunk(self, forecast, truth, prepared, skipna):
+    if self.ensemble_dim not in forecast.sizes:
+      return None
+    fields = self._pointwise_threshold_fields(
+        functools.partial(
+            _compute_ignorance_score,
+            ensemble_dim=self.ensemble_dim,
+            skipna=skipna,
+        ),
+        forecast, truth, prepared,
+    )
+    return None if fields is None else _inf_safe_fields(fields)
+
+  def finalize_fused(self, means, skipna=False):
+    del skipna
+    return _inf_safe_finalize(means)
 
 
 @dataclasses.dataclass

@@ -302,11 +302,13 @@ def _build_prob_fused_plan(jit_metrics, regions, forecast, skipna):
 
   One member-axis pass computes the pointwise fields; ONE generic
   region-matmul kernel call reduces all fields × regions (reference hot
-  loop: metrics.py:611-846 evaluated per metric × region).  skipna=False
-  only: member NaNs then propagate through the pointwise math exactly as
-  the reference's non-skipna means do.
+  loop: metrics.py:611-846 evaluated per metric × region).  Under
+  skipna=True the member pass carries per-cell valid counts (the
+  reference's xarray skipna member means); under skipna=False member
+  NaNs propagate through the pointwise math exactly as the reference's
+  non-skipna means do.
   """
-  if os.environ.get("WB2_FUSED", "1") == "0" or skipna:
+  if os.environ.get("WB2_FUSED", "1") == "0":
     return None
 
   stat_of = {}
@@ -462,19 +464,46 @@ def _fused_prob_chunk_results(plan, f_c, t_c, skipna):
     t2 = t_b.reshape(b, l)
 
     fields = {}
+    if skipna:
+      # per-cell valid member counts: xarray's skipna member means use
+      # the count of non-NaN members at each cell, while the PWM rank
+      # coefficients and the debiased correction keep the global M
+      # (metrics._pointwise_crps_spread / _debiased_ensemble_mean_mse)
+      valid = ~jnp.isnan(f3)
+      mc = valid.sum(axis=0).astype(jnp.float32)
     if "spread" in field_names:
       # single-sort PWM form (see metrics._pointwise_crps_spread)
       xs = jnp.sort(f3, axis=0)
       coef = (2 * jnp.arange(1, m + 1) - m - 1).reshape(m, 1, 1)
-      fields["spread"] = 2 * (coef * xs).mean(axis=0) / (m - 1)
+      if skipna:
+        # NaNs sort last; a valid value at sorted position i has ordinal
+        # rank i+1 among ALL members (ties broken by order), so the
+        # rank-form sum restricted to the first mc positions equals the
+        # generic path's skipna mean numerator
+        i_idx = jnp.arange(m, dtype=jnp.float32).reshape(m, 1, 1)
+        contrib = jnp.where(i_idx < mc[None], coef * xs, 0.0)
+        fields["spread"] = 2 * contrib.sum(axis=0) / mc / (m - 1)
+      else:
+        fields["spread"] = 2 * (coef * xs).mean(axis=0) / (m - 1)
     if "skill" in field_names:
-      fields["skill"] = jnp.abs(f3 - t2[None]).mean(axis=0)
+      if skipna:
+        ad = jnp.abs(f3 - t2[None])
+        fields["skill"] = jnp.where(valid, ad, 0.0).sum(axis=0) / mc
+      else:
+        fields["skill"] = jnp.abs(f3 - t2[None]).mean(axis=0)
     if "meansq" in field_names or "var" in field_names:
-      xbar = f3.mean(axis=0)
+      if skipna:
+        xbar = jnp.where(valid, f3, 0.0).sum(axis=0) / mc
+      else:
+        xbar = f3.mean(axis=0)
       if "meansq" in field_names:
         fields["meansq"] = (xbar - t2) ** 2
       if "var" in field_names:
-        fields["var"] = ((f3 - xbar[None]) ** 2).sum(axis=0) / (m - 1)
+        if skipna:
+          sq = jnp.where(valid, (f3 - xbar[None]) ** 2, 0.0)
+          fields["var"] = sq.sum(axis=0) / (mc - 1)
+        else:
+          fields["var"] = ((f3 - xbar[None]) ** 2).sum(axis=0) / (m - 1)
 
     stack = jnp.stack([fields[k] for k in field_names])  # (K, B, L)
     k = len(field_names)

@@ -314,7 +314,7 @@ def det2_0p25(seg):
       "--variables=geopotential,2m_temperature", "--levels=500",
       f"--time_start={start}",
       f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
-      "--input_chunks=init_time=8",
+      "--input_chunks=init_time=6",
   ], log, checkpoint=os.path.join(seg_dir, "ckpt"))
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "deterministic.nc"),

@@ -62,7 +62,15 @@ def _ensure_nonempty(dataset: xds.Dataset, message: str = "") -> None:
 
 
 def _decode_pressure_level_suffixes(forecast: xds.Dataset) -> xds.Dataset:
-  """Decode forecast with pressure-level-suffixed names into a level dim."""
+  """Decode forecast with pressure-level-suffixed names into a level dim.
+
+  Lazy-safe: per-level payloads stack into a LazyStack view, so a
+  suffixed official 0.25-degree store opens without materializing any
+  data (the reference decodes on dask the same way, reference
+  evaluation.py:71-89); only per-chunk slices are ever read.
+  """
+  from weatherbench2_tpu.xds.core import LazyArrayBase, LazyStack
+
   by_var: dict[str, list[tuple[int, str]]] = {}
   passthrough = {}
   for var in forecast.keys():
@@ -73,13 +81,36 @@ def _decode_pressure_level_suffixes(forecast: xds.Dataset) -> xds.Dataset:
       passthrough[var] = forecast.variables_dict()[var]
   out = xds.Dataset(passthrough, coords=dict(forecast.coords_dict()),
                     attrs=forecast.attrs)
+  all_levels = None
   for base, entries in by_var.items():
     entries.sort()
     levels = [lev for lev, _ in entries]
-    das = [
-        forecast[name].expand_dims(level=[lev]) for lev, name in entries
-    ]
-    out[base] = xds.concat(das, "level")
+    if all_levels is None:
+      all_levels = levels
+    elif levels != all_levels:
+      raise ValueError(
+          f"inconsistent pressure-level suffixes: {base} has {levels}, "
+          f"expected {all_levels}"
+      )
+    variables = [forecast.variables_dict()[name] for _, name in entries]
+    dims = variables[0].dims
+    datas = [v.data for v in variables]
+    if any(isinstance(d, LazyArrayBase) for d in datas):
+      stacked = LazyStack(datas)
+    else:
+      stacked = np.stack([np.asarray(d) for d in datas], axis=0)
+    out[base] = xds.DataArray(
+        xds.Variable(("level",) + dims, stacked, variables[0].attrs),
+        coords={
+            "level": np.asarray(levels),
+            **{
+                k: v
+                for k, v in forecast.coords_dict().items()
+                if set(v.dims) <= set(dims)
+            },
+        },
+        name=base,
+    )
   return out
 
 
@@ -99,9 +130,7 @@ def open_source_files(
   """
   del use_dask  # compatibility; laziness is controlled by `lazy`
   obs = xds.open_zarr(obs_path, lazy=lazy)
-  forecast = xds.open_zarr(
-      forecast_path, lazy=lazy and not pressure_level_suffixes
-  )
+  forecast = xds.open_zarr(forecast_path, lazy=lazy)
 
   if pressure_level_suffixes:
     forecast = _decode_pressure_level_suffixes(forecast)

@@ -63,6 +63,24 @@ def _normalize_chunk_coords(ds: xds.Dataset, chunk_dim: str) -> xds.Dataset:
                      attrs=ds.attrs)
 
 
+def _first_leaf(tree):
+  """One array payload out of a (possibly nested) dict of xds results —
+  used as a completion token for device-memory backpressure."""
+  if isinstance(tree, dict):
+    for v in tree.values():
+      leaf = _first_leaf(v)
+      if leaf is not None:
+        return leaf
+    return None
+  if isinstance(tree, xds.Dataset):
+    for v in tree.variables_dict().values():
+      return v.data
+    return None
+  if isinstance(tree, (xds.DataArray, xds.Variable)):
+    return tree.data
+  return tree
+
+
 def _normalize_any(obj, chunk_dim):
   if isinstance(obj, xds.Dataset):
     return _normalize_chunk_coords(obj, chunk_dim)
@@ -1196,6 +1214,11 @@ def evaluate_streaming_multi(
     def _ckpt_wait():
       while ckpt_futures:
         ckpt_futures.pop(0).result()
+
+    exec_tokens: list = []
+    max_device_inflight = max(
+        1, int(os.environ.get("WB2_DEVICE_INFLIGHT", "2"))
+    )
     pending = [
         pool.submit(_prepare_one, ci, sl, lead_sl)
         for ci, sl in chunk_list[:depth]
@@ -1222,10 +1245,13 @@ def evaluate_streaming_multi(
           )
 
         t0 = time.perf_counter()
+        chunk_token = None
         for cname, eval_config in eval_configs.items():
           sums, counts = chunk_program_jit_by[cname](
               f_dev, t_dev, p_dev[cname], jnp.asarray(time_mask)
           )
+          if chunk_token is None:
+            chunk_token = _first_leaf(counts)
 
           # host metrics (custom non-jit Metric subclasses) run eagerly
           for name, metric in host_metrics_by[cname].items():
@@ -1257,6 +1283,21 @@ def evaluate_streaming_multi(
               })
               nontemporal_results[cname].append((name, ci, res))
         _vlog(f"chunk {ci}: program dispatch", t0)
+
+        # Device-memory backpressure: dispatch is async, so when the
+        # device (or a remote tunnel in front of it) drains executions
+        # slower than the host prepares chunks, every queued execution's
+        # input buffers stay resident in HBM — an unbounded pile-up that
+        # OOMs exactly when the device is slowest.  Bound the pipeline:
+        # before moving past chunk n, wait for chunk n-K's program to
+        # finish (its chunk buffers then free).  K=2 keeps one execution
+        # overlapped with the next chunk's transfer.
+        if chunk_token is not None:
+          exec_tokens.append(chunk_token)
+          while len(exec_tokens) > max_device_inflight:
+            t0 = time.perf_counter()
+            jax.block_until_ready(exec_tokens.pop(0))
+            _vlog(f"chunk {ci}: backpressure wait", t0)
 
         state.chunk_index = ci + 1
         if checkpoint_path and checkpoint_every and (

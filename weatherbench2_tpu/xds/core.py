@@ -76,6 +76,81 @@ class LazyCast(LazyArrayBase):
     return f"LazyCast({self._base!r}, dtype={self.dtype})"
 
 
+class LazyStack(LazyArrayBase):
+  """Same-shaped payloads stacked along a new LEADING axis, lazily.
+
+  Built by the pressure-level-suffix decode (evaluation.py): an official
+  0.25-degree suffixed store holds one zarr array per (variable, level),
+  and stacking them eagerly would materialize the whole forecast in host
+  RAM.  Basic indexing composes into part views; integer/array selection
+  on the stack axis picks parts; advanced indexing inside a part defers
+  to the part's own bounded gather (io_zarr.LazyArray).  The reference
+  decodes suffixed stores lazily on dask the same way (reference
+  evaluation.py:71-89).
+  """
+
+  __slots__ = ("_parts", "dtype")
+
+  def __init__(self, parts):
+    parts = list(parts)
+    if not parts:
+      raise ValueError("LazyStack needs at least one part")
+    shapes = {tuple(p.shape) for p in parts}
+    if len(shapes) != 1:
+      raise ValueError(f"mismatched part shapes: {sorted(shapes)}")
+    self._parts = parts
+    self.dtype = np.result_type(*[p.dtype for p in parts])
+
+  @property
+  def shape(self):
+    return (len(self._parts),) + tuple(self._parts[0].shape)
+
+  @property
+  def ndim(self):
+    return len(self.shape)
+
+  @property
+  def size(self):
+    return int(np.prod(self.shape))
+
+  def __getitem__(self, key):
+    if not isinstance(key, tuple):
+      key = (key,)
+    if any(k is Ellipsis for k in key):
+      i = key.index(Ellipsis)
+      fill = (slice(None),) * (self.ndim - (len(key) - 1))
+      key = key[:i] + fill + key[i + 1:]
+    key = key + (slice(None),) * (self.ndim - len(key))
+    k0, rest = key[0], key[1:]
+    rest_trivial = all(
+        isinstance(r, slice) and r == slice(None) for r in rest
+    )
+
+    def sub(p):
+      return p if rest_trivial else p[rest]
+
+    if isinstance(k0, (int, np.integer)):
+      return sub(self._parts[int(k0)])
+    if isinstance(k0, slice):
+      parts = self._parts[k0]
+    else:
+      arr = np.asarray(k0)
+      if arr.ndim != 1:
+        return np.asarray(self)[key]
+      parts = [self._parts[int(i)] for i in arr]
+    parts = [sub(p) for p in parts]
+    if parts and all(isinstance(p, LazyArrayBase) for p in parts):
+      return LazyStack(parts)
+    return np.stack([np.asarray(p) for p in parts], axis=0)
+
+  def __array__(self, dtype=None, copy=None):
+    out = np.stack([np.asarray(p) for p in self._parts], axis=0)
+    return out.astype(dtype) if dtype is not None else out
+
+  def __repr__(self):
+    return f"LazyStack({len(self._parts)} x {self._parts[0].shape})"
+
+
 def _is_jax(x) -> bool:
   import jax  # local import: keep numpy-only paths importable without jax
 

@@ -43,7 +43,11 @@ def test_2d_mesh_axis_sizes():
   }
 
 
-def test_spatial_sharding_matches_unsharded():
+def test_spatial_sharding_indivisible_latitude_raises():
+  """19 latitudes don't divide a spatial axis of 2: the engine must
+  refuse loudly (silent replication would quietly waste half the mesh —
+  exactly the 721-latitude trap at the official 0.25-degree grid; see
+  docs/scaling.md 'Choosing a mesh')."""
   truth, fc, dc = _env()
   ec = config.Eval(
       metrics={
@@ -55,25 +59,13 @@ def test_spatial_sharding_matches_unsharded():
           "extra-tropics": ExtraTropicalRegion(),
       },
   )
-  res_plain = streaming.evaluate_streaming(
-      forecast=fc, truth=truth, climatology=None,
-      eval_config=ec, data_config=dc,
-      input_chunks={"init_time": 8},
-  )
   mesh = make_mesh(axis_names=("batch", "spatial"), axis_sizes=[4, 2])
-  # 19 latitudes don't divide by 2 -> latitude falls back to replicated,
-  # which must still be numerically identical
-  res_mesh = streaming.evaluate_streaming(
-      forecast=fc, truth=truth, climatology=None,
-      eval_config=ec, data_config=dc,
-      input_chunks={"init_time": 8},
-      mesh=mesh,
-  )
-  for k in res_plain.keys():
-    np.testing.assert_allclose(
-        np.asarray(res_plain[k].values),
-        np.asarray(res_mesh[k].transpose(*res_plain[k].dims).values),
-        rtol=1e-6,
+  with pytest.raises(ValueError, match="does not divide the latitude"):
+    streaming.evaluate_streaming(
+        forecast=fc, truth=truth, climatology=None,
+        eval_config=ec, data_config=dc,
+        input_chunks={"init_time": 8},
+        mesh=mesh,
     )
 
 

@@ -884,6 +884,22 @@ def evaluate_streaming_multi(
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     batch = int(axis_sizes.get("batch", 1))
     spatial_shards = int(axis_sizes.get("spatial", 1))
+    if spatial_shards > 1:
+      n_lat = forecast.sizes.get("latitude")
+      if n_lat is not None and n_lat % spatial_shards != 0:
+        # Refuse rather than silently replicate: official grids have
+        # awkward latitude counts (721 = 7 x 103 at 0.25 deg; 121 at
+        # 1.5 deg), so a power-of-two `spatial` axis would quietly buy
+        # nothing.  Batch-only meshes are the recommended layout at
+        # these geometries — see docs/scaling.md ("Choosing a mesh").
+        divisors = [d for d in range(2, n_lat + 1) if n_lat % d == 0]
+        raise ValueError(
+            f"mesh axis 'spatial'={spatial_shards} does not divide the "
+            f"latitude size {n_lat}; valid spatial shard counts are "
+            f"{divisors[:8]}{'...' if len(divisors) > 8 else ''} — or "
+            "use a batch-only mesh (recommended at official "
+            "geometries, docs/scaling.md)"
+        )
   else:
     batch = 1
   if chunk_dim in input_chunks:

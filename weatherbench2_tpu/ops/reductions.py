@@ -26,6 +26,7 @@ Statistics (per batch row b and region r), with a = f - clim, c = t - clim:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -282,9 +283,11 @@ def fused_deterministic_sums(
   # true-f32 passes overflow scoped vmem at r_pad=16 (measured: 17.8 MB
   # at the official 13-region 240x121 shape), so the budget is one tile
   # step smaller; 128x1024 measured 1.04 ms vs 0.89 ms at bench geometry.
-  while b_tile * l_tile > 131072 and l_tile > _LANE:
+  # WB2_PALLAS_TILE_BUDGET overrides (tools/sweep_tiles.py explores it).
+  tile_budget = int(os.environ.get("WB2_PALLAS_TILE_BUDGET", 131072))
+  while b_tile * l_tile > tile_budget and l_tile > _LANE:
     l_tile //= 2
-  while b_tile * l_tile > 131072 and b_tile > _LANE:
+  while b_tile * l_tile > tile_budget and b_tile > _LANE:
     b_tile //= 2
   r_pad = _round_up(r, _SUBLANE)
 

@@ -203,6 +203,28 @@ def main():
 
   big = min(big_timings)
   small = min(small_timings)
+
+  # measured 0.25-degree north-star rows (tools/north_star.py), if the
+  # year run has produced any: surfaces the real 1440x721 numbers in the
+  # bench record without re-running hours of streaming here
+  north_star = {}
+  ns_path = os.path.join(os.path.dirname(__file__), "NORTHSTAR.jsonl")
+  if os.path.exists(ns_path):
+    by_wl: dict = {}
+    with open(ns_path) as f:
+      for line in f:
+        row = json.loads(line)
+        if row.get("status") == "ok":
+          by_wl.setdefault(row["workload"], []).append(row)
+    for wl, rows in by_wl.items():
+      north_star[wl] = {
+          "segments": len(rows),
+          "total_wall_s": round(sum(r["wall_s"] for r in rows), 1),
+          "total_input_gib": round(
+              sum(r["input_gib"] for r in rows), 1
+          ),
+      }
+
   print(
       json.dumps(
           {
@@ -217,6 +239,7 @@ def main():
               "runs": [round(t, 3) for t in big_timings],
               "attempts": big_attempts,
               "failed_attempts": big_failures,
+              "north_star_0p25_measured": north_star,
               "secondary": {
                   "metric": "deterministic_eval_suite_wallclock_1yr_64x32",
                   "value": round(small, 3),

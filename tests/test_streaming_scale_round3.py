@@ -30,6 +30,10 @@ def _run_cli(script: str, args: list, tmp_path, extra_env=None,
   env["PYTHONPATH"] = REPO
   env["JAX_PLATFORMS"] = "cpu"
   env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/wb2_jax_cpu_compile_cache"
+  # conftest's 8-virtual-device XLA_FLAGS would leak into the child and
+  # make the mesh engine shard 8 ways on one core (8x compile + slow
+  # execution); these tests assert MEMORY, not sharding
+  env.pop("XLA_FLAGS", None)
   env.update(extra_env or {})
   runner = str(tmp_path / "_runner.py")
   with open(runner, "w") as f:
@@ -97,9 +101,11 @@ def _forecast_truth_specs(suffixed=False):
 
 def _build_eval_inputs(tmp_path, suffixed=False):
   specs = _forecast_truth_specs(suffixed)
+  # only the FORECAST carries suffixed names (the reference decode
+  # applies to the forecast store; truth/climatology have level dims)
   truth = schema.mock_truth_data(
       time_start="2020-01-01", time_stop="2020-06-15",
-      time_resolution="6 hours", **specs,
+      time_resolution="6 hours", **_forecast_truth_specs(False),
   )
   forecast = schema.mock_forecast_data(
       time_start="2020-01-01", time_stop="2020-06-01",
@@ -196,11 +202,11 @@ def test_evaluate_rss_flat_in_climatology(tmp_path):
   a 12x larger climatology may not add a comparable RSS delta."""
   specs = _forecast_truth_specs()
   truth = schema.mock_truth_data(
-      time_start="2020-01-01", time_stop="2020-03-15",
+      time_start="2020-01-01", time_stop="2020-02-15",
       time_resolution="6 hours", **specs,
   )
   forecast = schema.mock_forecast_data(
-      time_start="2020-01-01", time_stop="2020-03-01",
+      time_start="2020-01-01", time_stop="2020-02-01",
       time_resolution="12 hours",
       lead_start="0 days", lead_stop="5 days", lead_resolution="12 hours",
       **specs,

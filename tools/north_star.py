@@ -138,7 +138,15 @@ def _nbytes(ds):
 
 
 def month_bounds(seg):
-  """(start, stop_exclusive) date strings for a 'YYYY-MM' segment."""
+  """(start, stop_exclusive) date strings for a segment.
+
+  Segments are either 'YYYY-MM' (one month) or 'YYYY-MM-DD:YYYY-MM-DD'
+  (an explicit [start, stop) day range — used where a month of data
+  exceeds free disk, e.g. 50-member 0.25-degree forecasts at ~9 GB/day).
+  """
+  if ":" in seg:
+    start, stop = seg.split(":")
+    return str(np.datetime64(start)), str(np.datetime64(stop))
   y, m = int(seg[:4]), int(seg[5:7])
   start = np.datetime64(f"{y:04d}-{m:02d}-01")
   stop = (start.astype("datetime64[M]") + 1).astype("datetime64[D]")
@@ -326,7 +334,8 @@ def prob_0p25(seg):
   """50-member ENS month at 0.25 deg: official probabilistic +
   ensemble_binary configs grouped (one chunk stream feeds both),
   2m_temperature, quantile thresholds 0.1/0.9."""
-  specs = _specs(0.25, [], ["2m_temperature"], ())
+  res = float(os.environ.get("WB2_NS_RES", "0.25"))  # smoke override
+  specs = _specs(res, [], ["2m_temperature"], ())
   seg_dir = os.path.join(CACHE, "prob_0p25", seg)
   os.makedirs(seg_dir, exist_ok=True)
   qclim_path = os.path.join(CACHE, "prob_0p25", "qclim.zarr")
@@ -339,7 +348,7 @@ def prob_0p25(seg):
       f"--climatology_path={qclim_path}",
       f"--output_dir={seg_dir}",
       "--eval_configs=probabilistic,ensemble_binary",
-      "--use_mesh", "--regions=all",
+      "--use_mesh", "--regions=all", "--ensemble_dim=realization",
       "--variables=2m_temperature",
       "--quantile_thresholds=0.1,0.9",
       f"--time_start={start}",
@@ -439,7 +448,7 @@ def prob_240(seg):
       f"--climatology_path={qclim_path}",
       f"--output_dir={seg_dir}",
       "--eval_configs=probabilistic,ensemble_binary",
-      "--use_mesh", "--regions=all",
+      "--use_mesh", "--regions=all", "--ensemble_dim=realization",
       "--variables=2m_temperature",
       "--quantile_thresholds=0.1,0.9",
       f"--time_start={start}",
@@ -503,35 +512,37 @@ def combine(workload_name):
   segs = sorted({r["segment"] for r in rows})
   from weatherbench2_tpu.xds import io_netcdf
 
-  weighted = None
-  total_w = 0.0
-  per_seg = {}
-  result_name = None
-  for seg in segs:
-    seg_dir = os.path.join(CACHE, workload_name, seg)
-    for cand in ("deterministic.nc", "probabilistic.nc"):
-      p = os.path.join(seg_dir, cand)
-      if os.path.exists(p):
-        result_name = result_name or cand
-        ds = io_netcdf.open_netcdf(p)
-        start, stop = month_bounds(seg)
-        n_init = (np.datetime64(stop) - np.datetime64(start)) \
-            // np.timedelta64(12, "h")
-        w = float(n_init)
-        per_seg[seg] = ds
-        if weighted is None:
-          weighted = ds * w
-        else:
-          weighted = weighted + ds * w
-        total_w += w
-        break
-  if weighted is None:
+  if not segs:
     raise SystemExit(f"no segment results for {workload_name}")
-  year = weighted / total_w
-  out_path = os.path.join(CACHE, workload_name, "year_" + result_name)
-  xds.to_netcdf(year, out_path)
-  print(f"combined {len(per_seg)} segments ({int(total_w)} inits) "
-        f"-> {out_path}")
+  first_dir = os.path.join(CACHE, workload_name, segs[0])
+  result_names = sorted(
+      f for f in os.listdir(first_dir) if f.endswith(".nc")
+  )
+  n_segs = 0
+  for result_name in result_names:
+    weighted = None
+    total_w = 0.0
+    n_segs = 0
+    for seg in segs:
+      p = os.path.join(CACHE, workload_name, seg, result_name)
+      if not os.path.exists(p):
+        continue
+      ds = io_netcdf.open_netcdf(p)
+      start, stop = month_bounds(seg)
+      n_init = (np.datetime64(stop) - np.datetime64(start)) \
+          // np.timedelta64(12, "h")
+      w = float(n_init)
+      n_segs += 1
+      if weighted is None:
+        weighted = ds * w
+      else:
+        weighted = weighted + ds * w
+      total_w += w
+    year = weighted / total_w
+    out_path = os.path.join(CACHE, workload_name, "year_" + result_name)
+    xds.to_netcdf(year, out_path)
+    print(f"combined {n_segs} segments ({int(total_w)} inits) "
+          f"-> {out_path}")
   # wall-clock roll-up
   wall = sum(r["wall_s"] for r in rows)
   gib = sum(r["input_gib"] for r in rows)

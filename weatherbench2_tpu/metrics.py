@@ -988,6 +988,18 @@ class CRPSSkill(EnsembleMetric):
     )
 
 
+# Spatial* metrics and RankHistogram intentionally stay OUTSIDE the
+# fused tiers (parallel/streaming._partition_fused): spatial variants
+# emit per-cell maps, so there is no region reduction to fuse — the
+# per-cell field IS the result and XLA fuses its elementwise math inside
+# the single chunk program, where CSE also shares the member sort with
+# the CRPS family.  RankHistogram reduces to per-bin counts: its
+# scatter-add/bincount form is one pass over the small rank field, while
+# routing it through the region matmul would require a dense (bins x
+# cells) one-hot — tens of times the chunk bytes in HBM.  Measured at
+# the official geometry by tools/measure_pointwise.py spatial_hist_240.
+
+
 @dataclasses.dataclass
 class SpatialCRPS(EnsembleMetric):
   """CRPS without spatial averaging."""

@@ -1495,13 +1495,41 @@ def _vectorized_gather(var: Variable, coords: dict, vec: Mapping[str, Variable])
   removed and the broadcast indexer dims are inserted at the position of the
   first indexed dim.
   """
+  if not set(vec) & set(var.dims):
+    return var, coords
+
+  if isinstance(var.data, LazyArrayBase):
+    # Bound the storage read to the indexed dims' [min, max] windows
+    # BEFORE any transpose: transposing a lazy payload materializes the
+    # whole array (e.g. a 100s-of-GB climatology), while a basic-slice
+    # window composes into a lazy view and reads only the covered bytes.
+    bounds = []
+    offsets = {}
+    for d in var.dims:
+      if d in vec:
+        arr = np.asarray(_to_numpy(vec[d].data))
+        if arr.size == 0:
+          bounds.append(slice(0, 0))
+          offsets[d] = 0
+        else:
+          lo, hi = int(arr.min()), int(arr.max())
+          bounds.append(slice(lo, hi + 1))
+          offsets[d] = lo
+      else:
+        bounds.append(slice(None))
+    window = var.data[tuple(bounds)]
+    var = Variable(var.dims, np.asarray(window), var.attrs)
+    vec = {
+        d: Variable(
+            iv.dims, np.asarray(_to_numpy(iv.data)) - offsets[d], iv.attrs
+        )
+        for d, iv in vec.items()
+    }
+
   ivars = broadcast_variables(*vec.values())
   idx_dims = ivars[0].dims
   idx_shape = ivars[0].shape
   ivals = dict(zip(vec.keys(), [iv.data for iv in ivars]))
-
-  if not set(vec) & set(var.dims):
-    return var, coords
 
   xp = _xp(var.data)
   # Build advanced-index key: for indexed dims use the broadcast integer

@@ -412,3 +412,69 @@ def test_fused_probabilistic_suite_matches_in_memory(tmp_path):
         b[k].transpose(*a[k].dims).values, a[k].values,
         rtol=2e-4, atol=1e-6,
     )
+
+
+def test_truth_h2d_dedup_parity_and_reduction(tmp_path, monkeypatch):
+  """Truth h2d dedup (unique valid times + device expansion) must match
+  the undeduped path exactly and ship fewer truth bytes per chunk."""
+  import contextlib
+  import io
+
+  from weatherbench2_tpu import config, evaluation
+
+  kwargs = dict(
+      variables_3d=["geopotential"],
+      variables_2d=["2m_temperature"],
+      time_start="2020-01-01",
+      time_stop="2020-01-25",
+      spatial_resolution_in_degrees=20.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="3 days", **{**kwargs, "time_stop": "2020-01-12"}
+      ),
+      seed=1,
+  )
+  tp = str(tmp_path / "t.zarr")
+  fp = str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(fc, fp)
+  ec = config.Eval(metrics={"mse": metrics.MSE(), "mae": metrics.MAE()})
+  results = {}
+  truth_bytes = {}
+  monkeypatch.setenv("WB2_STREAM_VERBOSE", "1")
+  # reload the module-level _VERBOSE flag read at import time
+  from weatherbench2_tpu.parallel import streaming as _streaming
+  monkeypatch.setattr(_streaming, "_VERBOSE", True)
+  for env in ("1", "0"):
+    monkeypatch.setenv("WB2_TRUTH_DEDUP", env)
+    dc = config.Data(
+        selection=config.Selection(
+            variables=["geopotential", "2m_temperature"], levels=[500],
+            time_slice=slice("2020-01-01", "2020-01-10"),
+        ),
+        paths=config.Paths(
+            forecast=fp, obs=tp, output_dir=str(tmp_path / f"out{env}")
+        ),
+        by_init=True,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+      evaluation.evaluate_with_mesh(
+          dc, {"cfg": ec}, input_chunks={"init_time": 5}
+      )
+    results[env] = xds.open_netcdf(
+        str(tmp_path / f"out{env}" / "cfg.nc")
+    )
+    truth_bytes[env] = sum(
+        int(line.split("truth=")[1].split()[0])
+        for line in buf.getvalue().splitlines()
+        if "truth=" in line
+    )
+  assert truth_bytes["1"] < truth_bytes["0"]
+  for k in results["0"].keys():
+    np.testing.assert_allclose(
+        results["1"][k].values, results["0"][k].values, rtol=1e-6,
+        equal_nan=True,
+    )

@@ -402,6 +402,7 @@ def official13_0p25(seg):
 
 
 def _official13(seg, res, name, init_chunk):
+  res = float(os.environ.get("WB2_NS_RES", res))  # smoke override
   specs = _specs(res, _OFFICIAL_3D, _OFFICIAL_2D, (500, 700, 850))
   seg_dir = os.path.join(CACHE, name, seg)
   os.makedirs(seg_dir, exist_ok=True)

@@ -766,6 +766,75 @@ def _pad_chunk(ds: xds.Dataset, chunk_dim: str, target: int) -> xds.Dataset:
   return ds.isel({chunk_dim: idx})
 
 
+_UTIME = "__utime"
+
+
+def _rename_utime_var(v):
+  if "time" not in v.dims:
+    return v
+  return xds.Variable(
+      tuple(_UTIME if d == "time" else d for d in v.dims), v.data, v.attrs
+  )
+
+
+def _rename_utime(obj):
+  """Rename the deduped truth-time dim 'time' -> '__utime' in a pytree.
+
+  Applied AFTER prepare_chunk (so metric/threshold preparation sees a
+  normal truth chunk) and before device transfer; coords carrying the
+  time dim are dropped (their datetime values differ per chunk and would
+  retrace the jit program — same rule as _normalize_chunk_coords)."""
+  if isinstance(obj, xds.Dataset):
+    if "time" not in obj.sizes:
+      return obj
+    data = {
+        k: _rename_utime_var(v) for k, v in obj.variables_dict().items()
+    }
+    coords = {
+        k: v
+        for k, v in obj.coords_dict().items()
+        if "time" not in v.dims and k != "time"
+    }
+    return xds.Dataset(data, coords=coords, attrs=obj.attrs)
+  if isinstance(obj, xds.DataArray):
+    if "time" not in obj.dims:
+      return obj
+    coords = {
+        k: v
+        for k, v in obj.coords.items()
+        if "time" not in v.dims and k != "time"
+    }
+    return xds.DataArray(
+        _rename_utime_var(obj.variable), coords=coords, name=obj.name
+    )
+  if isinstance(obj, dict):
+    return {k: _rename_utime(v) for k, v in obj.items()}
+  if isinstance(obj, (list, tuple)):
+    return type(obj)(_rename_utime(v) for v in obj)
+  return obj
+
+
+def _expand_utime(obj, uinv):
+  """Expand deduped unique-time tensors to chunk shape on device.
+
+  Any Dataset/DataArray carrying the `__utime` dim gets a vectorized
+  take with `uinv` (dims = the forecast chunk's (init, lead) layout) —
+  the device-side half of the truth h2d dedup."""
+  if isinstance(obj, xds.Dataset):
+    if _UTIME in obj.sizes:
+      return obj.isel({_UTIME: uinv})
+    return obj
+  if isinstance(obj, xds.DataArray):
+    if _UTIME in obj.dims:
+      return obj.isel({_UTIME: uinv})
+    return obj
+  if isinstance(obj, dict):
+    return {k: _expand_utime(v, uinv) for k, v in obj.items()}
+  if isinstance(obj, (list, tuple)):
+    return type(obj)(_expand_utime(v, uinv) for v in obj)
+  return obj
+
+
 def evaluate_streaming(
     forecast: xds.Dataset,
     truth: xds.Dataset,
@@ -966,6 +1035,21 @@ def evaluate_streaming_multi(
   }
   any_temporal = any(cfg.temporal_mean for cfg in eval_configs.values())
 
+  # Truth h2d dedup gate: by-init runs whose metrics all run in-program
+  # (host metrics need a chunk-shaped host truth) and whose truth has no
+  # dim named like the marker.  WB2_TRUTH_DEDUP=0 disables.
+  truth_dedup = (
+      data_config.by_init
+      and os.environ.get("WB2_TRUTH_DEDUP", "1") == "1"
+      and all(
+          m.supports_jit
+          for cfg in eval_configs.values()
+          for m in cfg.metrics.values()
+      )
+      and "time" in truth.sizes
+      and _UTIME not in truth.sizes
+  )
+
   # The fused paths reshape (lon, lat) into one cell axis, which would
   # force a resharding gather under spatial sharding — use the generic
   # (GSPMD-partitioned reductions) path there instead.  Each config's
@@ -986,8 +1070,12 @@ def evaluate_streaming_multi(
     regions = regions_by[cname]
     det_plan, prob_plan, pw_plan, generic_metrics = plans_by[cname]
 
-    def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask):
+    def chunk_program(forecast_c, truth_c, prepared_by_metric, time_mask,
+                      uinv):
       """Evaluate all jit metrics × regions; reduce over the chunk dim."""
+      if truth_dedup:
+        truth_c = _expand_utime(truth_c, uinv)
+        prepared_by_metric = _expand_utime(prepared_by_metric, uinv)
       results = {}
       generic_names = list(generic_metrics)
       if det_plan is not None:
@@ -1140,9 +1228,31 @@ def evaluate_streaming_multi(
     f_chunk = _pad_chunk(f_chunk, chunk_dim, target)
     time_mask = np.zeros(target, dtype=np.float64)
     time_mask[:n_real] = 1.0
-    f_chunk, t_chunk = _make_truth_chunk(
-        f_chunk, truth, climatology, prob_clim, cfg0, data_config
-    )
+    uinv = np.zeros((1, 1), dtype=np.int32)  # dummy when dedup is off
+    if truth_dedup:
+      # Truth h2d dedup: the valid-time-aligned truth chunk repeats each
+      # truth time in ~every lead slot (a 21-lead chunk ships each time
+      # up to 21x).  Select the chunk's UNIQUE valid times once (a
+      # bounded lazy read), ship that small block, and expand on device
+      # with an integer take — the same trick as the ACC climatology
+      # dedup.  prepare_chunk below sees the compact (time, ...) truth;
+      # its time-aligned products (e.g. threshold gathers) carry the
+      # same unique axis and expand alongside in the chunk program.
+      vt = np.asarray(f_chunk["valid_time"].data)
+      uniq, inv = np.unique(vt.ravel(), return_inverse=True)
+      n_u = len(uniq)
+      n_pad = -(-n_u // 16) * 16  # bucket: stable shapes across chunks
+      if n_pad > n_u:
+        uniq = np.concatenate([uniq, np.repeat(uniq[-1:], n_pad - n_u)])
+      uinv = inv.reshape(vt.shape).astype(np.int32)
+      f_chunk, t_chunk = _make_truth_chunk(
+          f_chunk, truth, climatology, prob_clim, cfg0, data_config,
+          unique_times=uniq,
+      )
+    else:
+      f_chunk, t_chunk = _make_truth_chunk(
+          f_chunk, truth, climatology, prob_clim, cfg0, data_config
+      )
     for dname, dv in cfg0.derived_variables.items():
       f_chunk[dname] = dv.compute(f_chunk)
       t_chunk[dname] = dv.compute(t_chunk)
@@ -1153,6 +1263,9 @@ def evaluate_streaming_multi(
         }
         for c in eval_configs
     }
+    if truth_dedup:
+      t_chunk = _rename_utime(t_chunk)
+      prepared = _rename_utime(prepared)
     f_dev = _to_device(_normalize_any(f_chunk, chunk_dim), sharding_fn)
     t_dev = _to_device(_normalize_any(t_chunk, chunk_dim), sharding_fn)
     p_dev = _to_device(_normalize_any(prepared, chunk_dim), sharding_fn)
@@ -1178,7 +1291,15 @@ def evaluate_streaming_multi(
           f"chunk {ci}: h2d bytes forecast={_nb(f_chunk)} "
           f"truth={_nb(t_chunk)} prepared={_nb(prepared)}"
       )
-    return ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev, time_mask
+    uinv_da = xds.DataArray(
+        uinv,
+        dims=f_chunk["valid_time"].dims if truth_dedup else ("a", "b"),
+    )
+    u_dev = _to_device(
+        _normalize_any(uinv_da, chunk_dim), sharding_fn
+    )
+    return (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
+            time_mask, u_dev)
 
   lead_results = []
   lead_slices = (
@@ -1244,7 +1365,7 @@ def evaluate_streaming_multi(
         t0 = time.perf_counter()
         try:
           (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
-           time_mask) = pending.pop(0).result()
+           time_mask, u_dev) = pending.pop(0).result()
         except Exception:  # pragma: no cover - transient IO/backend error
           # one retry: storage and tunneled-accelerator transfers can fail
           # transiently (the reference leans on Dataflow bundle retries
@@ -1253,7 +1374,7 @@ def evaluate_streaming_multi(
           _vlog(f"chunk {ci_r}: prepare failed, retrying once")
           time.sleep(5)
           (ci, n_real, sl, f_chunk, t_chunk, f_dev, t_dev, p_dev,
-           time_mask) = _prepare_one(ci_r, sl_r, lead_sl)
+           time_mask, u_dev) = _prepare_one(ci_r, sl_r, lead_sl)
         _vlog(f"chunk {ci}: host prepare + h2d", t0)
         if idx + depth < len(chunk_list):
           pending.append(
@@ -1264,7 +1385,7 @@ def evaluate_streaming_multi(
         chunk_token = None
         for cname, eval_config in eval_configs.items():
           sums, counts = chunk_program_jit_by[cname](
-              f_dev, t_dev, p_dev[cname], jnp.asarray(time_mask)
+              f_dev, t_dev, p_dev[cname], jnp.asarray(time_mask), u_dev
           )
           if chunk_token is None:
             chunk_token = _first_leaf(counts)
@@ -1448,12 +1569,19 @@ def _eval_host_metric(metric, f_chunk, t_chunk, regions, skipna, n_real,
 
 
 def _make_truth_chunk(
-    f_chunk, truth, climatology, prob_clim, eval_config, data_config
+    f_chunk, truth, climatology, prob_clim, eval_config, data_config,
+    unique_times=None,
 ):
-  """Align truth to the forecast chunk; substitute baseline forecasts."""
+  """Align truth to the forecast chunk; substitute baseline forecasts.
+
+  With ``unique_times`` (truth h2d dedup) the truth chunk is the compact
+  (time=unique, ...) selection; the chunk program expands it on device.
+  """
   by_init = data_config.by_init
 
-  if by_init:
+  if unique_times is not None:
+    t_chunk = truth.sel(time=unique_times)
+  elif by_init:
     t_chunk = truth.sel(time=f_chunk["valid_time"])
   else:
     t_chunk = truth.sel(time=f_chunk.coords_dict()["time"].data)

@@ -282,16 +282,16 @@ def test_regrid_bounded_rss(big_series, tmp_path):
       "regrid.py",
       [f"--input_path={tiny_path}",
        f"--output_path={tmp_path / 'tiny_out.zarr'}",
-       "--output_degrees=5", "--regridding_method=conservative",
-       "--time_chunk_size=32"],
+       "--latitude_nodes=37", "--longitude_nodes=72",
+       "--regridding_method=conservative", "--time_chunk_size=32"],
       tmp_path, timeout=600,
   )
   out = str(tmp_path / "regridded.zarr")
   peak = _run_cli(
       "regrid.py",
       [f"--input_path={path}", f"--output_path={out}",
-       "--output_degrees=5", "--regridding_method=conservative",
-       "--time_chunk_size=32"],
+       "--latitude_nodes=37", "--longitude_nodes=72",
+       "--regridding_method=conservative", "--time_chunk_size=32"],
       tmp_path, timeout=600,
   )
   budget = base + int(nbytes * 0.4)
@@ -330,11 +330,13 @@ def test_prob_clim_forecasts_bounded_rss(big_series, tmp_path):
       "compute_probabilistic_climatological_forecasts.py",
       [f"--input_path={path}", f"--output_path={out}",
        "--ensemble_size=4",
-       "--initial_time=2020-06-01", "--final_time=2020-06-20",
-       "--initial_time_spacing=24h",
-       "--timedelta_spacing=24h", "--max_timedelta=3d",
-       "--day_window_size=10", "--sample_hold_days=10",
-       "--start_year=2019", "--end_year=2020"],
+       "--initial_time_start=2020-06-01",
+       "--initial_time_end=2020-06-20",
+       "--initial_time_spacing=1d",
+       "--forecast_duration=3d", "--timedelta_spacing=1d",
+       "--day_window_size=10",
+       "--climatology_start_year=2019",
+       "--climatology_end_year=2020"],
       tmp_path, timeout=600,
   )
   base = _baseline_rss(tmp_path)

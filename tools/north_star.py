@@ -41,7 +41,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CACHE = os.environ.get("WB2_NORTHSTAR_CACHE", "/tmp/wb2_northstar")
-RESULTS = os.path.join(REPO, "NORTHSTAR.jsonl")
+RESULTS = os.environ.get(
+    "WB2_NORTHSTAR_RESULTS", os.path.join(REPO, "NORTHSTAR.jsonl")
+)
 ENV = {
     **os.environ,
     "PYTHONPATH": f"{REPO}:/root/.axon_site",

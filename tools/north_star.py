@@ -98,14 +98,17 @@ def pool():
   return _POOL
 
 
-def write_pool_random(ds, path, chunks, block_dims):
+def write_pool_random(ds, path, chunks, block_dims, transforms=None):
   """Write `ds`-shaped pool noise to zarr, streaming in blocks.
 
   block_dims maps dim -> block size; the cartesian block grid is written
-  via RegionWriter so peak RAM is one block.
+  via RegionWriter so peak RAM is one block.  ``transforms`` maps a
+  variable name to a callable applied per block (e.g. mapping noise
+  into a valid dry-fraction probability band for SEEPS inputs).
   """
   from weatherbench2_tpu import xds
 
+  transforms = transforms or {}
   if os.path.exists(os.path.join(path, ".zmetadata")):
     return
   template = xds.Dataset(
@@ -131,7 +134,11 @@ def write_pool_random(ds, path, chunks, block_dims):
           (sel[d].stop - sel[d].start) if d in sel else v.sizes[d]
           for d in v.dims
       ]
-      writer.write_array(name, key, pool().block(shape))
+      block = pool().block(shape)
+      fn = transforms.get(name)
+      if fn is not None:
+        block = fn(block)
+      writer.write_array(name, key, block)
   writer.finish()
 
 
@@ -248,10 +255,23 @@ def _gen_clim(path, specs, extra_3d=(), extra_2d=()):
   sp["variables_3d"] = list(sp["variables_3d"]) + list(extra_3d)
   sp["variables_2d"] = list(sp["variables_2d"]) + list(extra_2d)
   clim = schema.mock_hourly_climatology_data(hour_interval=12, **sp)
+  transforms = {
+      # SEEPS needs a VALID climatology: p1 (the doy x hour mean of the
+      # dry fraction) must land inside the reference's (0.1, 0.85) mask
+      # band, and wet thresholds must be positive precip amounts
+      name: (
+          (lambda b: np.abs(b) * 0.2 + 0.3)
+          if name.endswith("_seeps_dry_fraction")
+          else (lambda b: np.abs(b) * 0.5 + 0.2)
+      )
+      for name in sp["variables_2d"]
+      if "_seeps_" in name
+  }
   write_pool_random(
       clim, path, {"dayofyear": 46},
       {"dayofyear": 46} if specs["spatial_resolution_in_degrees"] > 1
       else {"dayofyear": 8},
+      transforms=transforms,
   )
   return clim
 

@@ -728,6 +728,17 @@ class SpatialSEEPS(Metric):
 
   def prepare_chunk(self, forecast, truth):
     wet_threshold = self.climatology[f"{self.precip_name}_seeps_threshold"]
+    if "time" in truth.sizes and "time" not in forecast.sizes:
+      # compact-truth streaming chunk (truth h2d dedup): truth's 1-D
+      # time axis IS the chunk's unique valid times, so gathering the
+      # wet threshold there ships one row per unique time and expands
+      # on device with the truth — instead of a chunk-shaped
+      # (init, lead, space) companion
+      tt = truth["time"]
+      wet = wet_threshold.sel(
+          dayofyear=tt.dt.dayofyear, hour=tt.dt.hour
+      )
+      return {"wet": wet, "p1": self.p1}
     valid_time = forecast["valid_time"]
     wet = wet_threshold.sel(
         dayofyear=valid_time.dt.dayofyear, hour=valid_time.dt.hour

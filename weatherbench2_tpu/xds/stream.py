@@ -21,6 +21,7 @@ only the bytes of the window being processed are ever read.
 from __future__ import annotations
 
 import collections
+import os
 from typing import Any, Callable, Iterator, Mapping, Optional, Sequence
 
 import numpy as np
@@ -273,14 +274,18 @@ def orthogonal_select(payload, keys: Sequence[Any]) -> np.ndarray:
 
 
 def default_block(ds: core.Dataset, dim: str,
-                  target_bytes: int = 2 ** 28) -> int:
+                  target_bytes: Optional[int] = None) -> int:
   """Block size along ``dim`` so one block reads ~``target_bytes``.
 
   Sums the per-step bytes of every data variable carrying ``dim`` (other
   dims at full extent) — the adaptive analogue of the reference's
   per-resolution --input_chunks recommendations
   (/root/reference/docs/source/official-evaluation.md:19,281,546).
+  Default target: 256 MB, overridable via WB2_BLOCK_BYTES (e.g. smaller
+  on memory-constrained hosts).
   """
+  if target_bytes is None:
+    target_bytes = int(float(os.environ.get("WB2_BLOCK_BYTES", 2 ** 28)))
   per_step = 0
   for v in ds.variables_dict().values():
     if dim in v.dims:

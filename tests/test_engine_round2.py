@@ -399,7 +399,7 @@ def test_fused_probabilistic_suite_matches_in_memory(tmp_path):
       skipna=False,
   )
   assert plan is not None
-  assert plan["fields"] == ["meansq", "skill", "spread", "var"]
+  assert plan["fields"] == ["debiased", "meansq", "skill", "spread", "var"]
 
   evaluation.evaluate_in_memory(dc("mem"), ec())
   evaluation.evaluate_with_mesh(

@@ -162,3 +162,105 @@ def test_plot_timeseries_scales_precip_and_synthesizes_spread_skill():
   got = np.asarray(ratio.get_ydata(), dtype=float)
   np.testing.assert_allclose(got[1:], [0.75, 2.5 / 3.0])
   assert np.isnan(got[0])  # lead 0 masked
+
+
+def test_fused_debiased_mse_skipna_truth_nan_matches_generic(tmp_path):
+  """Round-3 review regression: under skipna, the fused tier must form
+  the debiased ensemble-mean MSE per CELL (meansq - var/M) before the
+  regional mean — combining the two REGIONAL means instead averages
+  them over different NaN cell sets when truth has NaN cells."""
+  import numpy as np
+
+  from weatherbench2_tpu import (
+      config, evaluation, metrics, schema, test_utils, utils, xds,
+  )
+
+  kwargs = dict(
+      variables_3d=[], variables_2d=["2m_temperature"],
+      time_start="2020-01-01", time_stop="2020-01-20",
+      spatial_resolution_in_degrees=20.0,
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  truth = test_utils.insert_nan(truth, frac_nan=0.05, seed=3)
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          ensemble_size=5, lead_stop="2 days",
+          **{**kwargs, "time_stop": "2020-01-10"},
+      ),
+      seed=1,
+  )
+  tp = str(tmp_path / "t.zarr")
+  fp = str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(fc, fp)
+  ec = config.Eval(
+      metrics={"debiased": metrics.DebiasedEnsembleMeanMSE()},
+  )
+  results = {}
+  for tag, use_mesh in (("mem", False), ("mesh", True)):
+    dc = config.Data(
+        selection=config.Selection(
+            variables=["2m_temperature"],
+            time_slice=slice("2020-01-01", "2020-01-08"),
+        ),
+        paths=config.Paths(
+            forecast=fp, obs=tp, output_dir=str(tmp_path / tag)
+        ),
+        by_init=True,
+    )
+    if use_mesh:
+      evaluation.evaluate_with_mesh(
+          dc, {"cfg": ec}, input_chunks={"init_time": 5}, skipna=True
+      )
+    else:
+      evaluation.evaluate_in_memory(dc, {"cfg": ec}, skipna=True)
+    results[tag] = xds.open_netcdf(str(tmp_path / tag / "cfg.nc"))
+  np.testing.assert_allclose(
+      results["mesh"]["2m_temperature"].values,
+      results["mem"]["2m_temperature"].values,
+      rtol=2e-5,
+  )
+
+
+def test_lazy_vectorized_gather_clustered_and_negative(tmp_path):
+  """Round-3 review regressions: (a) a year-straddling dayofyear gather
+  must read clustered windows, not the whole [1, 366] bounding box;
+  (b) negative indices follow numpy semantics on lazy payloads."""
+  import numpy as np
+
+  from weatherbench2_tpu import xds
+
+  data = np.arange(366 * 5 * 4, dtype=np.float32).reshape(366, 5, 4)
+  ds = xds.Dataset(
+      {"x": xds.Variable(("dayofyear", "a", "b"), data)},
+      coords={"dayofyear": np.arange(1, 367)},
+  )
+  path = str(tmp_path / "c.zarr")
+  xds.to_zarr(ds, path, chunks={"dayofyear": 8})
+  lz = xds.open_zarr(path, lazy=True)
+
+  idx = xds.DataArray(
+      np.array([354, 360, 365, 0, 1, 5], dtype=np.int64), dims=("p",)
+  )
+  got = np.asarray(lz["x"].isel(dayofyear=idx).data)
+  np.testing.assert_array_equal(got, data[[354, 360, 365, 0, 1, 5]])
+
+  neg = xds.DataArray(np.array([-1, -366, 3]), dims=("p",))
+  got = np.asarray(lz["x"].isel(dayofyear=neg).data)
+  np.testing.assert_array_equal(got, data[[-1, -366, 3]])
+
+
+def test_lazystack_mixed_advanced_indexing_matches_numpy():
+  """Round-3 review regression: multiple advanced indexers on a
+  LazyStack must follow numpy's pairing semantics (fallback path)."""
+  import numpy as np
+
+  from weatherbench2_tpu.xds.core import LazyStack
+
+  parts = [np.arange(12.0).reshape(3, 4) + 100 * i for i in range(4)]
+  st = LazyStack(parts)
+  ref = np.stack(parts, axis=0)
+  k = (np.array([0, 2]), np.array([1, 2]))
+  np.testing.assert_array_equal(st[k], ref[k])
+  k2 = (np.array([1, 3]), slice(None), np.array([0, 3]))
+  np.testing.assert_array_equal(st[k2], ref[k2])

@@ -128,9 +128,12 @@ class Metric:
   #: implement ``pointwise_chunk``; the streaming engine then reduces
   #: every such metric x region in ONE pass over the chunk through the
   #: fused region-matmul kernel (ops.fused_region_sums) instead of one
-  #: weighted reduction per metric x region.  Metrics whose fields can be
-  #: +/-Inf (e.g. ignorance/log scores) must NOT opt in: a zero region
-  #: weight cannot mask an Inf inside the kernel's dot product.
+  #: weighted reduction per metric x region.  Metrics whose fields can
+  #: be +/-Inf (ignorance/log scores) must NOT ship raw Inf rows — a
+  #: zero region weight times Inf is NaN inside the kernel's dot
+  #: product; wrap the fields with ``_inf_safe_fields`` (sanitized rows
+  #: + indicator rows) and finalize with ``_inf_safe_finalize``, as the
+  #: ignorance scores do.
   supports_pointwise_fused: t.ClassVar[bool] = False
 
   #: NaN handling for the fused regional mean: "global" follows the
@@ -1215,8 +1218,12 @@ def _inf_safe_finalize(means: xds.Dataset) -> xds.Dataset:
   for name in means.keys():
     if name.endswith(_PINF_SUFFIX):
       continue
+    base = means[name]
+    # a NaN regional mean (skipna=False with a NaN cell in the region)
+    # must stay NaN even when an inf cell is also present — the generic
+    # non-skipna mean of {NaN, inf, ...} is NaN
     restored = xds.where(
-        means[name + _PINF_SUFFIX] > 0, np.inf, means[name]
+        (means[name + _PINF_SUFFIX] > 0) & base.notnull(), np.inf, base
     )
     out[name] = restored
   return out.assign_attrs(**means.attrs)

@@ -292,7 +292,7 @@ _PROB_FIELD_DEPS = {
     "spread": ("spread",),
     "skill": ("skill",),
     "meansq": ("meansq",),
-    "debiased": ("meansq", "var"),
+    "debiased": ("meansq", "var", "debiased"),
     "var": ("var",),
     "rmse_mean": ("meansq",),
     "stddev": ("var",),
@@ -522,6 +522,13 @@ def _fused_prob_chunk_results(plan, f_c, t_c, skipna):
           fields["var"] = sq.sum(axis=0) / (mc - 1)
         else:
           fields["var"] = ((f3 - xbar[None]) ** 2).sum(axis=0) / (m - 1)
+      if "debiased" in field_names:
+        # per-CELL debiased field: combining the meansq and var REGIONAL
+        # means instead would average the two terms over different NaN
+        # cell sets under skipna (a truth-NaN cell drops from meansq but
+        # not var), diverging from the generic per-cell formula
+        # (metrics._debiased_ensemble_mean_mse)
+        fields["debiased"] = fields["meansq"] - fields["var"] / m
 
     stack = jnp.stack([fields[k] for k in field_names])  # (K, B, L)
     k = len(field_names)
@@ -558,7 +565,7 @@ def _fused_prob_chunk_results(plan, f_c, t_c, skipna):
       elif stat == "meansq":
         arr = mean_of["meansq"]
       elif stat == "debiased":
-        arr = mean_of["meansq"] - mean_of["var"] / m
+        arr = mean_of["debiased"]
       elif stat == "var":
         arr = mean_of["var"]
       elif stat == "rmse_mean":
@@ -1277,10 +1284,12 @@ def evaluate_streaming_multi(
         if isinstance(obj, xds.Dataset):
           return sum(_nb(v) for v in obj.variables_dict().values())
         if isinstance(obj, (xds.DataArray, xds.Variable)):
-          data = obj.data if hasattr(obj, "data") else obj
-          return int(np.asarray(data).nbytes) if not hasattr(
-              data, "nbytes"
-          ) else int(data.nbytes)
+          # size * itemsize, never np.asarray: materializing a
+          # still-lazy payload here would re-read the chunk from
+          # storage just to count its bytes
+          data = obj.data
+          itemsize = np.dtype(getattr(data, "dtype", np.float32)).itemsize
+          return int(getattr(data, "size", 0)) * itemsize
         if isinstance(obj, dict):
           return sum(_nb(v) for v in obj.values())
         if isinstance(obj, (list, tuple)):

@@ -122,6 +122,20 @@ class LazyStack(LazyArrayBase):
       key = key[:i] + fill + key[i + 1:]
     key = key + (slice(None),) * (self.ndim - len(key))
     k0, rest = key[0], key[1:]
+
+    def _advanced(k):
+      return not isinstance(k, slice) and (
+          getattr(np.asarray(k), "ndim", 0) >= 1
+      )
+
+    if _advanced(k0) and any(
+        not isinstance(r, slice) for r in rest
+    ):
+      # numpy pairs/broadcasts multiple advanced indexers (and moves
+      # their axes per the placement rule); per-part application would
+      # silently compute an outer product instead — materialize and
+      # defer to numpy for exact semantics
+      return np.asarray(self)[key]
     rest_trivial = all(
         isinstance(r, slice) and r == slice(None) for r in rest
     )
@@ -1499,32 +1513,56 @@ def _vectorized_gather(var: Variable, coords: dict, vec: Mapping[str, Variable])
     return var, coords
 
   if isinstance(var.data, LazyArrayBase):
-    # Bound the storage read to the indexed dims' [min, max] windows
-    # BEFORE any transpose: transposing a lazy payload materializes the
-    # whole array (e.g. a 100s-of-GB climatology), while a basic-slice
-    # window composes into a lazy view and reads only the covered bytes.
-    bounds = []
-    offsets = {}
-    for d in var.dims:
-      if d in vec:
-        arr = np.asarray(_to_numpy(vec[d].data))
-        if arr.size == 0:
-          bounds.append(slice(0, 0))
-          offsets[d] = 0
-        else:
-          lo, hi = int(arr.min()), int(arr.max())
-          bounds.append(slice(lo, hi + 1))
-          offsets[d] = lo
-      else:
-        bounds.append(slice(None))
-    window = var.data[tuple(bounds)]
-    var = Variable(var.dims, np.asarray(window), var.attrs)
-    vec = {
-        d: Variable(
-            iv.dims, np.asarray(_to_numpy(iv.data)) - offsets[d], iv.attrs
-        )
-        for d, iv in vec.items()
-    }
+    # Bound the storage read to the indexed positions BEFORE any
+    # transpose: transposing a lazy payload materializes the whole
+    # array (e.g. a 100s-of-GB climatology).  Reads are CLUSTERED, not
+    # a single [min, max] window: a winter chunk's dayofyear values
+    # {355..366, 1..10} would otherwise bound the entire year and
+    # materialize the whole axis.  Negative indices are normalized
+    # first (numpy semantics).
+    def _clusters(uniq, max_gap=16):
+      slices = []
+      start = prev = int(uniq[0])
+      for p in uniq[1:]:
+        p = int(p)
+        if p - prev > max_gap:
+          slices.append(slice(start, prev + 1))
+          start = p
+        prev = p
+      slices.append(slice(start, prev + 1))
+      return slices
+
+    data = var.data
+    new_vec = {}
+    for ax, d in enumerate(var.dims):
+      if d not in vec:
+        continue
+      size_d = var.shape[ax] if hasattr(var, "shape") else var.sizes[d]
+      iv = vec[d]
+      arr = np.asarray(_to_numpy(iv.data)).astype(np.int64)
+      arr = np.where(arr < 0, arr + size_d, arr)
+      full_key = lambda sl: tuple(
+          sl if i == ax else slice(None)
+          for i in range(len(var.dims))
+      )
+      if arr.size == 0:
+        data = np.asarray(data[full_key(slice(0, 0))])
+        new_vec[d] = Variable(iv.dims, arr, iv.attrs)
+        continue
+      pos_map = np.full(size_d, -1, np.int64)
+      pieces = []
+      cum = 0
+      for sl in _clusters(np.unique(arr)):
+        n = sl.stop - sl.start
+        pos_map[sl] = np.arange(cum, cum + n)
+        cum += n
+        pieces.append(np.asarray(data[full_key(sl)]))
+      data = pieces[0] if len(pieces) == 1 else np.concatenate(
+          pieces, axis=ax
+      )
+      new_vec[d] = Variable(iv.dims, pos_map[arr], iv.attrs)
+    var = Variable(var.dims, np.asarray(data), var.attrs)
+    vec = {**vec, **new_vec}
 
   ivars = broadcast_variables(*vec.values())
   idx_dims = ivars[0].dims

@@ -476,6 +476,10 @@ def prob_240(seg):
       "--quantile_thresholds=0.1,0.9",
       f"--time_start={start}",
       f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+      # 50-member chunks are ~0.5 GB/init; cap explicitly so the
+      # backpressure window (4 chunks co-resident + the CRPS member
+      # sort's temp) stays well inside 16 GB of HBM
+      "--input_chunks=init_time=4",
   ], log)
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "probabilistic.nc"),
@@ -501,7 +505,7 @@ def run(workload_name, segments=None):
     except Exception as e:  # noqa: BLE001 - record and continue
       _record({"workload": workload_name, "segment": seg,
                "status": "error", "error": str(e)[:500]})
-      raise
+      continue
     phases = _parse_phase_log(out["log"])
     gib = out["in_bytes"] / 2**30
     row = {

@@ -1286,8 +1286,14 @@ def evaluate_streaming_multi(
         if isinstance(obj, (xds.DataArray, xds.Variable)):
           # size * itemsize, never np.asarray: materializing a
           # still-lazy payload here would re-read the chunk from
-          # storage just to count its bytes
+          # storage just to count its bytes.  jax arrays are already
+          # device-resident (e.g. the cached ACC climatology) — they
+          # do not cross host->device again, so count 0.
           data = obj.data
+          from weatherbench2_tpu.xds.core import _is_jax
+
+          if _is_jax(data):
+            return 0
           itemsize = np.dtype(getattr(data, "dtype", np.float32)).itemsize
           return int(getattr(data, "size", 0)) * itemsize
         if isinstance(obj, dict):

@@ -220,7 +220,15 @@ def _run_cli(args_list, log_path, checkpoint=None):
   before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
   t0 = time.perf_counter()
   with open(log_path, "w") as log:
-    proc = subprocess.run(cmd, env=ENV, stdout=log, stderr=log)
+    try:
+      # hang guard: a dead tunnel can wedge jax teardown indefinitely;
+      # no legitimate month takes 2.5 h
+      proc = subprocess.run(
+          cmd, env=ENV, stdout=log, stderr=log, timeout=9000
+      )
+    except subprocess.TimeoutExpired as e:
+      raise RuntimeError(f"CLI timed out after 9000s, log={log_path}") \
+          from e
   wall = time.perf_counter() - t0
   # ru_maxrss (KiB on linux) is a high-water mark over ALL children; it
   # only reflects this CLI if it exceeded every earlier child's peak —

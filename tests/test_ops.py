@@ -255,3 +255,48 @@ def test_region_sums_per_row_nan_accounting():
   assert nanw[0, 1] == 0         # row 1 is clean
   # row 1: weighted sum of ones == total weight
   np.testing.assert_allclose(sums[:, 1], wsum[:, 1], rtol=1e-6)
+
+
+def test_select_tiles_lane_aligned_any_geometry():
+  # Regression: the VMEM-budget loop used to halve tiles with //= 2,
+  # which turns a non-power-of-two starting tile (round_up(1035, 128)
+  # = 1152 -> 576) into a non-multiple of 128 — Mosaic then rejects the
+  # block spec on real TPUs (caught by an 8-degree official13 smoke).
+  from weatherbench2_tpu.ops.reductions import _select_tiles
+
+  for rows in (1, 42, 126, 127, 128, 11529):
+    for cols in (7, 1035, 2048, 29040, 1038240):
+      for budget in (2**14, 131072, 262144, 2**20):
+        rt, ct = _select_tiles(rows, cols, 128, 2048, budget)
+        assert rt % 128 == 0 and ct % 128 == 0, (rows, cols, budget)
+        assert rt * ct <= max(budget, 128 * 128)
+
+
+def test_fused_kernel_odd_grid_shapes():
+  # the 8-degree official13 geometry that exposed the alignment bug:
+  # L=1035 cells, tiny budget forcing a tile shrink
+  import os
+
+  rng = np.random.default_rng(0)
+  b, l, r = 12, 1035, 3
+  f = rng.standard_normal((b, l)).astype(np.float32)
+  t = rng.standard_normal((b, l)).astype(np.float32)
+  w = np.abs(rng.standard_normal((r, l))).astype(np.float32)
+  old = os.environ.get("WB2_PALLAS_TILE_BUDGET")
+  os.environ["WB2_PALLAS_TILE_BUDGET"] = str(128 * 512)
+  try:
+    sums_p, wsum_p, nanw_p = ops.fused_deterministic_sums(
+        f, t, None, w, interpret=True
+    )
+  finally:
+    if old is None:
+      del os.environ["WB2_PALLAS_TILE_BUDGET"]
+    else:
+      os.environ["WB2_PALLAS_TILE_BUDGET"] = old
+  stats = np.stack([f - t, (f - t) ** 2, np.abs(f - t),
+                    f * t, f * f, t * t])
+  expect = np.einsum("sbl,rl->srb", stats.astype(np.float64),
+                     w.astype(np.float64))
+  np.testing.assert_allclose(
+      np.asarray(sums_p)[:, :r], expect, rtol=1e-3, atol=1e-4
+  )

@@ -256,13 +256,21 @@ def _specs(res_deg, three_d, two_d, levels):
   )
 
 
-def _gen_clim(path, specs, extra_3d=(), extra_2d=()):
+def _gen_clim(path, specs, extra_3d=(), extra_2d=(), doy_range=None):
   from weatherbench2_tpu import schema
 
   sp = dict(specs)
   sp["variables_3d"] = list(sp["variables_3d"]) + list(extra_3d)
   sp["variables_2d"] = list(sp["variables_2d"]) + list(extra_2d)
   clim = schema.mock_hourly_climatology_data(hour_interval=12, **sp)
+  if doy_range is not None:
+    # Day-range segments at 0.25 deg: a full-year 25-field climatology is
+    # ~76 GB (beyond sandbox disk), but every climatology lookup in the
+    # engine is label-based (metrics.ACC._validated_positions raises on
+    # missing dayofyear), so a store covering just the segment's
+    # valid-time window is protocol-equivalent for these runs.
+    lo, hi = doy_range
+    clim = clim.isel(dayofyear=slice(lo - 1, hi))
   transforms = {
       # SEEPS needs a VALID climatology: p1 (the doy x hour mean of the
       # dry fraction) must land inside the reference's (0.1, 0.85) mask
@@ -428,19 +436,36 @@ def official13_240(seg):
 def official13_0p25(seg):
   """FULL official deterministic config at 1440x721 (the reference's
   100-worker Dataflow headline job, official-evaluation.md:546)."""
-  return _official13(seg, 0.25, "official13_0p25", init_chunk=2)
+  return _official13(
+      seg, 0.25, "official13_0p25", init_chunk=2, windowed_clim=True
+  )
 
 
-def _official13(seg, res, name, init_chunk):
+def _official13(seg, res, name, init_chunk, windowed_clim=False):
   res = float(os.environ.get("WB2_NS_RES", res))  # smoke override
   specs = _specs(res, _OFFICIAL_3D, _OFFICIAL_2D, (500, 700, 850))
   seg_dir = os.path.join(CACHE, name, seg)
   os.makedirs(seg_dir, exist_ok=True)
+  doy_range = None
   clim_path = os.path.join(CACHE, name, "clim.zarr")
+  if windowed_clim:
+    # 0.25-deg day-range segments: window the climatology to the
+    # segment's valid times (start-1 .. stop+12 covers 10-day leads)
+    start, stop = month_bounds(seg)
+    def _doy(d):
+      return int(
+          (np.datetime64(d, "D")
+           - np.datetime64(f"{str(d)[:4]}-01-01", "D")).astype(int)
+      ) + 1
+    lo = max(1, _doy(start) - 1)
+    hi = min(366, _doy(np.datetime64(stop) - np.timedelta64(1, "D")) + 12)
+    doy_range = (lo, hi)
+    clim_path = os.path.join(CACHE, name, f"clim_d{lo:03d}-{hi:03d}.zarr")
   _gen_clim(
       clim_path, specs, extra_3d=["wind_speed"],
       extra_2d=["total_precipitation_24hr_seeps_threshold",
                 "total_precipitation_24hr_seeps_dry_fraction"],
+      doy_range=doy_range,
   )
   fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs)
   start, stop = month_bounds(seg)

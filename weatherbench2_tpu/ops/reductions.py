@@ -42,6 +42,32 @@ def _round_up(x: int, m: int) -> int:
   return -(-x // m) * m
 
 
+def _halve_tile(tile: int) -> int:
+  """Largest lane-aligned tile <= tile/2.
+
+  Mosaic requires the last two block dims be multiples of (8, 128); a
+  plain ``//= 2`` on a non-power-of-two tile (e.g. 1152 -> 576) breaks
+  lane alignment and fails lowering on small odd grids.
+  """
+  return max(_LANE, (tile // 2) // _LANE * _LANE)
+
+
+def _select_tiles(rows, cols, row_tile, col_tile, budget):
+  """Lane-aligned (row_tile, col_tile) within the VMEM element budget.
+
+  Both returned tiles are multiples of 128 (Mosaic block alignment for
+  the row axis too: it is the LAST dim of the output blocks).  The
+  column tile shrinks first — row tiles amortize the weight-matrix
+  loads."""
+  row_tile = max(_LANE, _round_up(min(row_tile, rows), _LANE))
+  col_tile = min(col_tile, _round_up(cols, _LANE))
+  while row_tile * col_tile > budget and col_tile > _LANE:
+    col_tile = _halve_tile(col_tile)
+  while row_tile * col_tile > budget and row_tile > _LANE:
+    row_tile = _halve_tile(row_tile)
+  return row_tile, col_tile
+
+
 def make_region_weight_matrix(
     lat_weights: np.ndarray,
     region_masks: Sequence[np.ndarray],
@@ -275,8 +301,6 @@ def fused_deterministic_sums(
   # multiples of 128.  The arrays themselves stay unpadded: edge blocks are
   # masked inside the kernel (columns) or clipped on write (rows/batch),
   # avoiding a full HBM copy of three chunk-sized inputs.
-  b_tile = max(_LANE, _round_up(min(b_tile, b), _LANE))
-  l_tile = min(l_tile, _round_up(l, _LANE))
   # VMEM guard: three double-buffered input blocks plus the
   # HIGHEST-precision dot scratch for six stat matmuls must fit in the
   # 16 MB of VMEM.  128x2048 was fastest at default precision but the
@@ -285,10 +309,7 @@ def fused_deterministic_sums(
   # step smaller; 128x1024 measured 1.04 ms vs 0.89 ms at bench geometry.
   # WB2_PALLAS_TILE_BUDGET overrides (tools/sweep_tiles.py explores it).
   tile_budget = int(os.environ.get("WB2_PALLAS_TILE_BUDGET", 131072))
-  while b_tile * l_tile > tile_budget and l_tile > _LANE:
-    l_tile //= 2
-  while b_tile * l_tile > tile_budget and b_tile > _LANE:
-    b_tile //= 2
+  b_tile, l_tile = _select_tiles(b, l, b_tile, l_tile, tile_budget)
   r_pad = _round_up(r, _SUBLANE)
 
   w = jnp.asarray(region_w, jnp.float32)
@@ -437,12 +458,7 @@ def fused_region_sums(
   x = jnp.asarray(x, jnp.float32)
   n, l = x.shape
   r = region_w.shape[0]
-  n_tile = max(_LANE, _round_up(min(n_tile, n), _LANE))
-  l_tile = min(l_tile, _round_up(l, _LANE))
-  while n_tile * l_tile > 262144 and l_tile > _LANE:
-    l_tile //= 2
-  while n_tile * l_tile > 262144 and n_tile > _LANE:
-    n_tile //= 2
+  n_tile, l_tile = _select_tiles(n, l, n_tile, l_tile, 262144)
   r_pad = _round_up(r, _SUBLANE)
   w = jnp.asarray(region_w, jnp.float32)
   wpos = (w > 0).astype(jnp.float32)

@@ -109,13 +109,25 @@ def write_pool_random(ds, path, chunks, block_dims, transforms=None):
   from weatherbench2_tpu import xds
 
   transforms = transforms or {}
+  # Completion sentinel: the zarr template writes .zmetadata UP FRONT
+  # (that is the idempotent template+region-write model), so .zmetadata
+  # alone cannot prove the noise fill finished — a datagen killed
+  # mid-fill leaves a complete-looking store whose unwritten chunks read
+  # as fill-value NaN and silently poison a whole month (observed:
+  # official13_240 2020-04 surface variables all-NaN after a chain kill).
+  incomplete = os.path.join(path, ".pool_incomplete")
   if os.path.exists(os.path.join(path, ".zmetadata")):
-    return
+    if not os.path.exists(incomplete):
+      return
+    shutil.rmtree(path)
   template = xds.Dataset(
       {k: xds.stub_variable(v.dims, v.sizes, np.float32)
        for k, v in ds.variables_dict().items()},
       coords=dict(ds.coords_dict()),
   )
+  os.makedirs(path, exist_ok=True)
+  with open(incomplete, "w") as f:
+    f.write("pool fill in progress\n")
   writer = xds.RegionWriter(
       path, template, chunks=chunks, compressor="none"
   )
@@ -140,6 +152,7 @@ def write_pool_random(ds, path, chunks, block_dims, transforms=None):
         block = fn(block)
       writer.write_array(name, key, block)
   writer.finish()
+  os.remove(incomplete)
 
 
 def _nbytes(ds):
@@ -212,10 +225,16 @@ def _parse_phase_log(log_path):
   }
 
 
-def _run_cli(args_list, log_path, checkpoint=None):
+def _run_cli(args_list, log_path, checkpoint=None, fresh_data=False):
   cmd = [sys.executable,
          os.path.join(REPO, "scripts/evaluate.py")] + args_list
   if checkpoint:
+    if fresh_data:
+      # the input stores were (re)generated: a checkpoint from an earlier
+      # attempt accumulates over DIFFERENT data — never resume across it
+      import glob as _glob
+      for p in _glob.glob(checkpoint + "*"):
+        os.remove(p)
     cmd += [f"--checkpoint_path={checkpoint}", "--checkpoint_every=4"]
   before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
   t0 = time.perf_counter()
@@ -361,7 +380,7 @@ def det2_0p25(seg):
       f"--time_start={start}",
       f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
       "--input_chunks=init_time=6",
-  ], log, checkpoint=os.path.join(seg_dir, "ckpt"))
+  ], log, checkpoint=os.path.join(seg_dir, "ckpt"), fresh_data=gen_s > 0)
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "deterministic.nc"),
               stores=[fp, tp])
@@ -481,7 +500,7 @@ def _official13(seg, res, name, init_chunk, windowed_clim=False):
       f"--time_start={start}",
       f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
       f"--input_chunks=init_time={init_chunk}",
-  ], log, checkpoint=os.path.join(seg_dir, "ckpt"))
+  ], log, checkpoint=os.path.join(seg_dir, "ckpt"), fresh_data=gen_s > 0)
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "deterministic.nc"),
               stores=[fp, tp])
@@ -523,9 +542,34 @@ def prob_240(seg):
 # driver
 # ---------------------------------------------------------------------------
 
-def run(workload_name, segments=None):
+def _check_result_sanity(out):
+  """Refuse to record a segment whose result has an all-NaN variable.
+
+  Under skipna=False one NaN input cell poisons every (metric, region,
+  lead) of its variable for the whole segment; synthetic noise inputs
+  can never legitimately produce that, so an all-NaN variable means a
+  corrupt input store (e.g. an interrupted datagen's fill-value chunks)
+  and the segment must not enter the record."""
+  from weatherbench2_tpu.xds import io_netcdf
+
+  result = out.get("result")
+  paths = [result] if isinstance(result, str) else list(result or [])
+  for p in paths:
+    if not p or not os.path.exists(p):
+      continue
+    ds = io_netcdf.open_netcdf(p)
+    for name, v in ds.variables_dict().items():
+      arr = np.asarray(v.data)
+      if arr.size and np.isnan(arr).all():
+        raise RuntimeError(
+            f"result sanity: variable {name!r} in {p} is all-NaN "
+            "(corrupt input store?)"
+        )
+
+
+def run(workload_name, segments=None, force=False):
   fn = WORKLOADS[workload_name]
-  done = _done_segments()
+  done = set() if force else _done_segments()
   segments = segments or _months()
   for seg in segments:
     if (workload_name, seg) in done:
@@ -535,6 +579,7 @@ def run(workload_name, segments=None):
     t_seg = time.perf_counter()
     try:
       out = fn(seg)
+      _check_result_sanity(out)
     except Exception as e:  # noqa: BLE001 - record and continue
       _record({"workload": workload_name, "segment": seg,
                "status": "error", "error": str(e)[:500]})
@@ -563,13 +608,14 @@ def combine(workload_name):
   from weatherbench2_tpu import xds
   from weatherbench2_tpu.evaluation import merge_metric_results
 
-  rows = []
+  by_seg = {}
   with open(RESULTS) as f:
     for line in f:
       row = json.loads(line)
       if row["workload"] == workload_name and row["status"] == "ok":
-        rows.append(row)
-  segs = sorted({r["segment"] for r in rows})
+        by_seg[row["segment"]] = row  # last ok row per segment wins
+  rows = list(by_seg.values())
+  segs = sorted(by_seg)
   from weatherbench2_tpu.xds import io_netcdf
 
   if not segs:
@@ -620,10 +666,12 @@ def main():
   ap.add_argument("cmd", choices=["run", "combine"])
   ap.add_argument("workload", choices=sorted(WORKLOADS))
   ap.add_argument("--seg", nargs="*", default=None)
+  ap.add_argument("--force", action="store_true",
+                  help="re-run segments already recorded ok")
   args = ap.parse_args()
   os.makedirs(CACHE, exist_ok=True)
   if args.cmd == "run":
-    run(args.workload, args.seg)
+    run(args.workload, args.seg, force=args.force)
   else:
     combine(args.workload)
 

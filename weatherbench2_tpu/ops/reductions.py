@@ -212,11 +212,31 @@ def _fused_kernel(l_real, l_tile, f_ref, t_ref, c_ref, w_ref, wpos_ref,
   ).T
 
 
+def _check_block_alignment(**tiles):
+  """Fail fast on Mosaic's (8, 128) block-dim rule.
+
+  Interpret-mode tests do not enforce Mosaic's alignment constraints,
+  so a misaligned tile schedule would only surface on real TPUs (it
+  did once: a //=2 shrink produced a 576-wide tile); this static check
+  makes the contract visible on every backend."""
+  for name, (tile, multiple) in tiles.items():
+    if tile % multiple:
+      raise ValueError(
+          f"{name}={tile} must be a multiple of {multiple} "
+          "(Mosaic block alignment)"
+      )
+
+
 @functools.lru_cache(maxsize=32)
 def _build_pallas_call(b, l, r, r_pad, b_tile, l_tile, interpret):
   import jax
   import jax.numpy as jnp
   from jax.experimental import pallas as pl
+
+  _check_block_alignment(
+      b_tile=(b_tile, _LANE), l_tile=(l_tile, _LANE),
+      r_pad=(r_pad, _SUBLANE),
+  )
 
   try:
     from jax.experimental.pallas import tpu as pltpu
@@ -389,6 +409,11 @@ def _region_sums_kernel(l_real, l_tile, x_ref, w_ref, wpos_ref,
 def _build_region_sums_call(n, l, r, r_pad, n_tile, l_tile, interpret):
   import jax
   import jax.numpy as jnp
+
+  _check_block_alignment(
+      n_tile=(n_tile, _LANE), l_tile=(l_tile, _LANE),
+      r_pad=(r_pad, _SUBLANE),
+  )
   from jax.experimental import pallas as pl
 
   try:

@@ -242,6 +242,11 @@ def build_eval_configs(climatology, regions, threshold_list) -> dict:
       "mae": metrics.SpatialMAE(),
   }
   if COMPUTE_SEEPS.value:
+    if climatology is None:
+      raise ValueError(
+          "--compute_seeps requires --climatology_path (SEEPS needs "
+          "climatological dry fractions and thresholds)"
+      )
     for name, precip, thresh in [
         ("seeps_24hr", "total_precipitation_24hr", 0.25),
         ("seeps_6hr", "total_precipitation_6hr", 0.1),
@@ -472,6 +477,20 @@ def main(argv) -> None:
         f"{EVAL_CONFIGS.value=} is not a subset of {sorted(eval_configs)}"
     )
   eval_configs = {k: v for k, v in eval_configs.items() if k in requested}
+
+  if climatology is None:
+    # fail fast with a clear message instead of a NoneType error deep in
+    # the first chunk (metrics holding climatology=None can't evaluate)
+    for cfg_name, cfg in eval_configs.items():
+      needy = [
+          m_name for m_name, m in cfg.metrics.items()
+          if getattr(m, "climatology", "absent") is None
+      ]
+      if needy:
+        raise ValueError(
+            f"--eval_configs={cfg_name} includes metrics {needy} that "
+            "require a climatology; pass --climatology_path"
+        )
 
   if USE_MESH.value or USE_BEAM.value:
     from weatherbench2_tpu.parallel import make_mesh

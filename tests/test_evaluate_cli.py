@@ -137,3 +137,39 @@ def test_evaluate_cli_in_memory_equals_mesh(tmp_path):
         rtol=1e-5,
         atol=1e-7,
     )
+
+
+def test_evaluate_cli_missing_climatology_clear_error(tmp_path):
+  """Selecting a climatology-needing config without --climatology_path
+  must fail fast with an actionable message, not a NoneType error in
+  the first chunk."""
+  truth_path, forecast_path, _ = _setup_data(tmp_path)
+  out_dir = str(tmp_path / "out")
+  with flagsaver.flagsaver(
+      forecast_path=forecast_path,
+      obs_path=truth_path,
+      climatology_path=None,
+      output_dir=out_dir,
+      variables=["2m_temperature"],
+      time_start="2021-12-01",
+      time_stop="2021-12-10",
+      eval_configs="deterministic",
+      regions=["global"],
+  ):
+    with pytest.raises(ValueError, match="climatology_path"):
+      evaluate.main([])
+  # compute_seeps has its own clear requirement
+  with flagsaver.flagsaver(
+      forecast_path=forecast_path,
+      obs_path=truth_path,
+      climatology_path=None,
+      output_dir=out_dir,
+      variables=["2m_temperature"],
+      time_start="2021-12-01",
+      time_stop="2021-12-10",
+      eval_configs="deterministic",
+      regions=["global"],
+      compute_seeps=True,
+  ):
+    with pytest.raises(ValueError, match="compute_seeps"):
+      evaluate.main([])

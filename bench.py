@@ -210,12 +210,17 @@ def main():
   north_star = {}
   ns_path = os.path.join(os.path.dirname(__file__), "NORTHSTAR.jsonl")
   if os.path.exists(ns_path):
-    by_wl: dict = {}
+    # keep the LAST ok row per (workload, segment): re-run segments
+    # (integrity re-runs, backend-outage retries) supersede, not add
+    by_seg: dict = {}
     with open(ns_path) as f:
       for line in f:
         row = json.loads(line)
         if row.get("status") == "ok":
-          by_wl.setdefault(row["workload"], []).append(row)
+          by_seg[(row["workload"], row["segment"])] = row
+    by_wl: dict = {}
+    for (wl, _), row in by_seg.items():
+      by_wl.setdefault(wl, []).append(row)
     for wl, rows in by_wl.items():
       north_star[wl] = {
           "segments": len(rows),

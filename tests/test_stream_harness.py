@@ -129,8 +129,19 @@ def test_kvstore_spec_dispatch():
   assert spec == {"driver": "http", "base_url": "https://host/data.zarr/",
                   "path": "x"}
   spec = io_zarr.kvstore_spec("/local/path", "x")
-  assert spec == {"driver": "file", "path": "/local/path/x"}
+  assert spec == {"driver": "file", "path": "/local/path/x",
+                  "file_io_sync": False}
   assert io_zarr.is_remote("gs://b/p") and not io_zarr.is_remote("/tmp/x")
+
+
+def test_kvstore_spec_local_sync_opt_in(monkeypatch):
+  """WB2_FILE_IO_SYNC=1 restores per-chunk fsync durability; remote
+  drivers never carry the local-only option."""
+  monkeypatch.setenv("WB2_FILE_IO_SYNC", "1")
+  spec = io_zarr.kvstore_spec("/local/path", "x")
+  assert "file_io_sync" not in spec
+  monkeypatch.delenv("WB2_FILE_IO_SYNC")
+  assert "file_io_sync" not in io_zarr.kvstore_spec("gs://bucket/p")
 
 
 def test_remote_array_spec_has_cache_when_requested(monkeypatch):

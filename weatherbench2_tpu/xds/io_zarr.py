@@ -76,8 +76,16 @@ def kvstore_spec(path: str, child: str = ""):
   """tensorstore kvstore spec for a local path or gs/s3/http(s) URL."""
   scheme, rest = _split_scheme(path)
   if scheme is None:
-    return {"driver": "file",
-            "path": os.path.join(path, child) if child else path}
+    spec: dict = {"driver": "file",
+                  "path": os.path.join(path, child) if child else path}
+    if os.environ.get("WB2_FILE_IO_SYNC", "0") != "1":
+      # skip the per-chunk fsync (measured ~1.5-2x local write throughput
+      # on sustained streams): chunk writes are idempotent in the
+      # template+region-write model, so a torn write after a crash is
+      # re-written on resume; set WB2_FILE_IO_SYNC=1 for strict
+      # durability
+      spec["file_io_sync"] = False
+    return spec
   if scheme in _SCHEME_DRIVERS:
     bucket, _, prefix = rest.partition("/")
     return {

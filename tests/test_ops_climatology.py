@@ -92,6 +92,17 @@ def test_device_quantile_matches_weighted_quantile():
       )
 
 
+def test_device_quantile_day_blocking_invariant(monkeypatch):
+  """A tiny byte budget forces many lax.map day-blocks (incl. the padded
+  tail block); results must be bit-identical to the single-block path."""
+  x = _stacked(pixels=(3,))
+  qs = [0.1, 0.9]
+  whole = np.asarray(dev_clim.device_window_quantile(x, 9, qs))
+  monkeypatch.setenv("WB2_CLIM_QUANTILE_BYTES", "40000")  # few days/block
+  blocked = np.asarray(dev_clim.device_window_quantile(x, 9, qs))
+  np.testing.assert_array_equal(whole, blocked)
+
+
 def test_device_matches_compute_rolling_stat_end_to_end():
   """Full pipeline equivalence: device kernel vs utils.compute_rolling_stat."""
   ds = utils.random_like(

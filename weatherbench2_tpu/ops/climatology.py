@@ -102,12 +102,16 @@ def device_window_quantile(
   Returns:
     (len(quantiles), n_days, *pixels) jax array.
   """
+  import os
+
+  import jax
   import jax.numpy as jnp
 
   x = jnp.asarray(values, jnp.float32)
   n_years, n_days = x.shape[0], x.shape[1]
   pixel_shape = x.shape[2:]
   q = jnp.asarray(np.atleast_1d(quantiles), jnp.float32)
+  n_q = len(np.atleast_1d(quantiles))
 
   half = window_size // 2
   idx = (
@@ -121,56 +125,74 @@ def device_window_quantile(
   w_win = jnp.asarray(np.asarray(window_weights), jnp.float32)
 
   flat = x.reshape(n_years, n_days, -1)
-  # (years, n_days, window, pixels)
-  pool = flat[:, idx, :]
-  nan_mask = jnp.isnan(pool)
-  w = jnp.broadcast_to(
-      w_win[None, None, :, None], pool.shape
-  )
-  w = jnp.where(nan_mask, 0.0, w)
+  npix = flat.shape[-1]
+  n_pool = n_years * window_size
 
-  # pool axis = (years × window): move to last, sort once.  Zero-weight
-  # entries (NaNs and window-edge zero weights) sort to the end via an
-  # infinite key and are excluded as interpolation anchors, matching
-  # utils.weighted_quantile which drops them outright.
-  vals = jnp.moveaxis(pool, (0, 2), (2, 3)).reshape(
-      n_days, flat.shape[-1], -1
+  # The (day, year×window, pixel) gather pool plus its sort temporaries
+  # is ~6 arrays of n_days × n_pool × npix f32 — 90+ GB at the official
+  # 30-year geometry, far beyond HBM (observed compile-time OOM at
+  # 240×121).  Day-blocks under lax.map bound peak memory to the block;
+  # every shape stays static.
+  budget = int(os.environ.get("WB2_CLIM_QUANTILE_BYTES", 2 << 30))
+  per_day = max(1, npix * n_pool * 4 * 6)
+  day_block = int(np.clip(budget // per_day, 1, n_days))
+  n_blocks = -(-n_days // day_block)
+  pad = n_blocks * day_block - n_days
+  idx_pad = np.concatenate([idx, idx[:pad]], axis=0) if pad else idx
+  idx_blocks = jnp.asarray(
+      idx_pad.reshape(n_blocks, day_block, window_size), jnp.int32
   )
-  w = jnp.moveaxis(w, (0, 2), (2, 3)).reshape(
-      n_days, flat.shape[-1], -1
-  )
-  key = jnp.where(w > 0, vals, jnp.inf)
-  order = jnp.argsort(key, axis=-1)
-  v_sorted = jnp.take_along_axis(vals, order, axis=-1)
-  w_sorted = jnp.take_along_axis(w, order, axis=-1)
-  cumw = jnp.cumsum(w_sorted, axis=-1)
-  total = cumw[..., -1:]
-  positions = (cumw - 0.5 * w_sorted) / total
-  n_valid = (w_sorted > 0).sum(axis=-1)  # (n_days, pixels)
 
-  # vectorized interp of q over (positions, v_sorted) per pencil
-  # idx_hi = first k with positions[k] >= q, clamped to valid entries
-  ge = (positions[..., None, :] >= q[:, None]).astype(jnp.int32)
-  # shape: (n_days, pixels, Q, pool)
-  idx_hi = jnp.argmax(ge, axis=-1)
-  found = ge.max(axis=-1) > 0
-  n_pool = v_sorted.shape[-1]
-  idx_hi = jnp.where(found, idx_hi, n_pool - 1)
-  idx_hi = jnp.minimum(idx_hi, jnp.maximum(n_valid - 1, 0)[..., None])
-  idx_lo = jnp.maximum(idx_hi - 1, 0)
-  p_hi = jnp.take_along_axis(positions[..., None, :], idx_hi[..., None],
-                             axis=-1)[..., 0]
-  p_lo = jnp.take_along_axis(positions[..., None, :], idx_lo[..., None],
-                             axis=-1)[..., 0]
-  v_hi = jnp.take_along_axis(v_sorted[..., None, :], idx_hi[..., None],
-                             axis=-1)[..., 0]
-  v_lo = jnp.take_along_axis(v_sorted[..., None, :], idx_lo[..., None],
-                             axis=-1)[..., 0]
-  span = jnp.where(p_hi > p_lo, p_hi - p_lo, 1.0)
-  frac = jnp.clip((q[None, None, :] - p_lo) / span, 0.0, 1.0)
-  out = v_lo + frac * (v_hi - v_lo)
-  # clamp to edges (q below first position / above last)
-  out = jnp.where(q[None, None, :] <= positions[..., :1], v_lo, out)
+  def one_block(idx_blk):
+    # (years, B, window, pixels)
+    pool = flat[:, idx_blk, :]
+    nan_mask = jnp.isnan(pool)
+    w = jnp.broadcast_to(w_win[None, None, :, None], pool.shape)
+    w = jnp.where(nan_mask, 0.0, w)
+
+    # pool axis = (years × window): move to last, sort once.  Zero-weight
+    # entries (NaNs and window-edge zero weights) sort to the end via an
+    # infinite key and are excluded as interpolation anchors, matching
+    # utils.weighted_quantile which drops them outright.
+    vals = jnp.moveaxis(pool, (0, 2), (2, 3)).reshape(
+        day_block, npix, -1
+    )
+    wb = jnp.moveaxis(w, (0, 2), (2, 3)).reshape(day_block, npix, -1)
+    key = jnp.where(wb > 0, vals, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    v_sorted = jnp.take_along_axis(vals, order, axis=-1)
+    w_sorted = jnp.take_along_axis(wb, order, axis=-1)
+    cumw = jnp.cumsum(w_sorted, axis=-1)
+    total = cumw[..., -1:]
+    positions = (cumw - 0.5 * w_sorted) / total
+    n_valid = (w_sorted > 0).sum(axis=-1)  # (B, pixels)
+
+    # vectorized interp of q over (positions, v_sorted) per pencil
+    # idx_hi = first k with positions[k] >= q, clamped to valid entries
+    ge = (positions[..., None, :] >= q[:, None]).astype(jnp.int32)
+    # shape: (B, pixels, Q, pool)
+    idx_hi = jnp.argmax(ge, axis=-1)
+    found = ge.max(axis=-1) > 0
+    idx_hi = jnp.where(found, idx_hi, n_pool - 1)
+    idx_hi = jnp.minimum(idx_hi, jnp.maximum(n_valid - 1, 0)[..., None])
+    idx_lo = jnp.maximum(idx_hi - 1, 0)
+    p_hi = jnp.take_along_axis(positions[..., None, :], idx_hi[..., None],
+                               axis=-1)[..., 0]
+    p_lo = jnp.take_along_axis(positions[..., None, :], idx_lo[..., None],
+                               axis=-1)[..., 0]
+    v_hi = jnp.take_along_axis(v_sorted[..., None, :], idx_hi[..., None],
+                               axis=-1)[..., 0]
+    v_lo = jnp.take_along_axis(v_sorted[..., None, :], idx_lo[..., None],
+                               axis=-1)[..., 0]
+    span = jnp.where(p_hi > p_lo, p_hi - p_lo, 1.0)
+    frac = jnp.clip((q[None, None, :] - p_lo) / span, 0.0, 1.0)
+    out = v_lo + frac * (v_hi - v_lo)
+    # clamp to edges (q below first position / above last)
+    return jnp.where(q[None, None, :] <= positions[..., :1], v_lo, out)
+
+  # (n_blocks, B, pixels, Q), blocks sequential, block internals vector
+  outs = jax.lax.map(one_block, idx_blocks)
+  out = outs.reshape(n_blocks * day_block, npix, n_q)[:n_days]
   # (n_days, pixels, Q) -> (Q, n_days, pixels)
   out = jnp.moveaxis(out, -1, 0)
-  return out.reshape((len(np.atleast_1d(quantiles)), n_days) + pixel_shape)
+  return out.reshape((n_q, n_days) + pixel_shape)

@@ -39,6 +39,9 @@ DROP_VARIABLES = flag_utils.DEFINE_list(
     "drop_variables", None, help="Variables to drop.")
 KEEP_VARIABLES = flag_utils.DEFINE_list(
     "keep_variables", None, help="Variables to keep (default: all).")
+MAKE_DIMS_INCREASING = flag_utils.DEFINE_list(
+    "make_dims_increasing", [],
+    help="Dimensions to make increasing, reversing order if needed.")
 OUTPUT_CHUNKS = flag_utils.DEFINE_chunks(
     "output_chunks", "", help="Chunking of the output store.")
 RUNNER = flag_utils.DEFINE_string("runner", None, "(ignored)")
@@ -89,6 +92,20 @@ def main(argv):
        for d, n in ds.sizes.items()},
       coords=dict(ds.coords_dict()),
   )
+
+  # reference semantics (slice_dataset.py:_maybe_make_some_dims_increasing):
+  # reversals apply BEFORE any selection; non-monotonic dims are an error
+  for dim in MAKE_DIMS_INCREASING.value or []:
+    x = np.asarray(skel[dim].values)
+    increasing = np.diff(x) > 0
+    if increasing.all():
+      pass
+    elif (~increasing).all():
+      skel = skel.isel({dim: slice(None, None, -1)})
+    else:
+      raise ValueError(
+          f"Cannot make non-monotonic dimension {dim} increasing"
+      )
 
   sel = parse_selection_grammar(SEL.value)
   sel.update(parse_selection_grammar(SEL_STRINGS.value, force_string=True))

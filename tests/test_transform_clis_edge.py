@@ -415,3 +415,50 @@ def test_zonal_spectrum_time_kept(tmp_path):
   res = xds.open_zarr(out)
   assert "time" in res.sizes and "zonal_wavenumber" in res.sizes
   assert np.isfinite(np.asarray(res["2m_temperature"].values)).all()
+
+
+def test_slice_dataset_make_dims_increasing(tmp_path):
+  """Reference parity (slice_dataset.py:_maybe_make_some_dims_increasing):
+  decreasing dims reverse (before selections), increasing pass through,
+  non-monotonic raise."""
+  in_path, ds = _input(tmp_path)
+  # rewrite with latitude flipped to decreasing
+  lat = np.asarray(ds.coords_dict()["latitude"].data)
+  flipped = ds.isel(latitude=slice(None, None, -1))
+  dec_path = str(tmp_path / "dec.zarr")
+  xds.to_zarr(flipped, dec_path)
+
+  out = str(tmp_path / "inc.zarr")
+  with flagsaver.flagsaver(
+      input_path=dec_path, output_path=out,
+      make_dims_increasing=["latitude"],
+  ):
+    slice_dataset.main([])
+  res = xds.open_zarr(out)
+  got_lat = np.asarray(res.coords_dict()["latitude"].data)
+  assert (np.diff(got_lat) > 0).all()
+  np.testing.assert_allclose(
+      np.asarray(res["2m_temperature"].values),
+      np.asarray(ds["2m_temperature"].values), rtol=1e-6
+  )
+
+  # composes with a label selection on the now-increasing dim
+  out2 = str(tmp_path / "inc_sel.zarr")
+  with flagsaver.flagsaver(
+      input_path=dec_path, output_path=out2,
+      make_dims_increasing=["latitude"],
+      sel=f"latitude_start={lat[1]},latitude_stop={lat[-2]}",
+  ):
+    slice_dataset.main([])
+  assert xds.open_zarr(out2).sizes["latitude"] == len(lat) - 2
+
+  # non-monotonic dim: clear error
+  shuffled = ds.isel(latitude=[0, 2, 1])
+  bad_path = str(tmp_path / "bad.zarr")
+  xds.to_zarr(shuffled, bad_path)
+  with flagsaver.flagsaver(
+      input_path=bad_path, output_path=str(tmp_path / "x.zarr"),
+      make_dims_increasing=["latitude"],
+  ):
+    with pytest.raises(ValueError, match="non-monotonic"):
+      slice_dataset.main([])

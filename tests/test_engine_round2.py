@@ -478,3 +478,101 @@ def test_truth_h2d_dedup_parity_and_reduction(tmp_path, monkeypatch):
         results["1"][k].values, results["0"][k].values, rtol=1e-6,
         equal_nan=True,
     )
+
+
+def test_truth_dedup_gate_disables_for_lead_core_derived(
+    tmp_path, monkeypatch
+):
+  """Lead-core-dim derived variables (precip accumulation) compute on
+  the truth chunk too; the compact unique-time truth has no lead axis,
+  so the dedup gate must fall back to lead-aligned truth (and match the
+  dedup-off results exactly)."""
+  from weatherbench2_tpu import config, derived_variables, evaluation
+
+  kwargs = dict(
+      variables_3d=[],
+      variables_2d=["total_precipitation"],
+      time_start="2020-01-01",
+      time_stop="2020-01-20",
+      spatial_resolution_in_degrees=20.0,
+      time_resolution="6 hours",
+  )
+  truth = utils.random_like(schema.mock_truth_data(**kwargs), seed=0)
+  fc = utils.random_like(
+      schema.mock_forecast_data(
+          lead_stop="3 days", lead_resolution="6 hours",
+          **{**kwargs, "time_stop": "2020-01-10"},
+      ),
+      seed=1,
+  )
+  tp, fp = str(tmp_path / "t.zarr"), str(tmp_path / "f.zarr")
+  xds.to_zarr(truth, tp)
+  xds.to_zarr(fc, fp)
+  dv = derived_variables.DERIVED_VARIABLE_DICT["total_precipitation_24hr"]
+  ec = config.Eval(
+      metrics={"mse": metrics.MSE()},
+      derived_variables={"total_precipitation_24hr": dv},
+  )
+  results = {}
+  for env in ("1", "0"):
+    monkeypatch.setenv("WB2_TRUTH_DEDUP", env)
+    dc = config.Data(
+        selection=config.Selection(
+            variables=["total_precipitation"], levels=[],
+            time_slice=slice("2020-01-01", "2020-01-08"),
+        ),
+        paths=config.Paths(
+            forecast=fp, obs=tp, output_dir=str(tmp_path / f"o{env}")
+        ),
+        by_init=True,
+    )
+    evaluation.evaluate_with_mesh(
+        dc, {"cfg": ec}, input_chunks={"init_time": 4}
+    )
+    results[env] = xds.open_netcdf(str(tmp_path / f"o{env}" / "cfg.nc"))
+  # the in-memory path shares the rename-aware DV helper: must agree
+  dc_mem = config.Data(
+      selection=config.Selection(
+          variables=["total_precipitation"], levels=[],
+          time_slice=slice("2020-01-01", "2020-01-08"),
+      ),
+      paths=config.Paths(
+          forecast=fp, obs=tp, output_dir=str(tmp_path / "omem")
+      ),
+      by_init=True,
+  )
+  evaluation.evaluate_in_memory(dc_mem, {"cfg": ec})
+  results["mem"] = xds.open_netcdf(str(tmp_path / "omem" / "cfg.nc"))
+  for k in results["0"].keys():
+    for other in ("1", "mem"):
+      np.testing.assert_allclose(
+          results[other][k].transpose(*results["0"][k].dims).values,
+          results["0"][k].values, rtol=1e-5,
+          equal_nan=True,
+      )
+
+
+def test_backpressure_engages_for_nontemporal_configs(
+    tmp_path, monkeypatch
+):
+  """temporal_mean=False configs carry counts=None leaves; the
+  completion token must come from sums or the device-memory bound
+  silently never engages (round-3 review finding)."""
+  import contextlib
+  import io
+
+  truth_path, fc_path = _mk_data(tmp_path)
+  dc = _data_config(tmp_path, truth_path, fc_path)
+  ec = {
+      "temporal": config.Eval(
+          metrics={"mse": metrics.MSE()},
+          regions={"global": SliceRegion()},
+          temporal_mean=False,
+      )
+  }
+  monkeypatch.setenv("WB2_DEVICE_INFLIGHT", "1")
+  monkeypatch.setattr(streaming, "_VERBOSE", True)
+  buf = io.StringIO()
+  with contextlib.redirect_stdout(buf):
+    evaluation.evaluate_with_mesh(dc, ec, input_chunks={"init_time": 3})
+  assert "backpressure wait" in buf.getvalue()

@@ -264,3 +264,22 @@ def test_lazystack_mixed_advanced_indexing_matches_numpy():
   np.testing.assert_array_equal(st[k], ref[k])
   k2 = (np.array([1, 3]), slice(None), np.array([0, 3]))
   np.testing.assert_array_equal(st[k2], ref[k2])
+
+
+def test_lazystack_boolean_mask_selects_parts():
+  """A 1-D boolean mask on the stack axis must select parts (numpy
+  semantics), not cast True/False to part indices 1/0."""
+  from weatherbench2_tpu.xds.core import LazyStack
+
+  rng = np.random.default_rng(0)
+  parts = [rng.standard_normal((4, 5)) for _ in range(3)]
+  st = LazyStack(parts)
+  dense = np.stack(parts, axis=0)
+  mask = np.array([True, False, True])
+  np.testing.assert_array_equal(np.asarray(st[mask]), dense[mask])
+  # mask length mismatch is an error, as in numpy
+  import pytest as _pytest
+  with _pytest.raises(IndexError):
+    st[np.array([True, False])]
+  # scalar bool defers to numpy semantics (newaxis + mask)
+  np.testing.assert_array_equal(np.asarray(st[True]), dense[True])

@@ -40,9 +40,18 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CACHE = os.environ.get("WB2_NORTHSTAR_CACHE", "/tmp/wb2_northstar")
+# A WB2_NS_RES smoke override must never mix its rows or results with
+# the real 0.25-degree record: redirect BOTH defaults to a smoke path
+# (explicit WB2_NORTHSTAR_* env vars still win).
+_SMOKE = bool(os.environ.get("WB2_NS_RES"))
+CACHE = os.environ.get(
+    "WB2_NORTHSTAR_CACHE",
+    "/tmp/wb2_northstar_smoke" if _SMOKE else "/tmp/wb2_northstar",
+)
 RESULTS = os.environ.get(
-    "WB2_NORTHSTAR_RESULTS", os.path.join(REPO, "NORTHSTAR.jsonl")
+    "WB2_NORTHSTAR_RESULTS",
+    os.path.join(CACHE, "results.jsonl") if _SMOKE
+    else os.path.join(REPO, "NORTHSTAR.jsonl"),
 )
 ENV = {
     **os.environ,
@@ -152,6 +161,10 @@ def write_pool_random(ds, path, chunks, block_dims, transforms=None):
         block = fn(block)
       writer.write_array(name, key, block)
   writer.finish()
+  # the writers skip per-chunk fsync (io_zarr file_io_sync=False), so
+  # flush the page cache BEFORE dropping the completion sentinel — a
+  # crash must never leave a sentinel-free store with unflushed chunks
+  os.sync()
   os.remove(incomplete)
 
 
@@ -187,6 +200,7 @@ def _done_segments():
 
 
 def _record(row):
+  os.makedirs(os.path.dirname(RESULTS) or ".", exist_ok=True)
   with open(RESULTS, "a") as f:
     f.write(json.dumps(row) + "\n")
   print("RECORD", json.dumps(row), flush=True)
@@ -602,6 +616,8 @@ def run(workload_name, segments=None, force=False):
         "segment_total_s": round(time.perf_counter() - t_seg, 1),
         **phases,
     }
+    if _SMOKE:
+      row["res_deg_override"] = os.environ["WB2_NS_RES"]
     _record(row)
     for store in out["stores"]:
       shutil.rmtree(store, ignore_errors=True)

@@ -72,16 +72,20 @@ def run_schedule(b, l, r, b_tile, l_tile, budget, iters):
     return carry + sums.sum() + wsum.sum() + nanw.sum(), 0.0
 
   @jax.jit
-  def scan_all():
+  def scan_all(base):
+    # `base` offsets every iteration's input: the timed pass must not be
+    # byte-identical to the warm-up pass, or the tunnel's (program,
+    # input) execution memoization serves it from cache and the row
+    # measures dispatch RTT
     out, _ = jax.lax.scan(
-        step, jnp.float32(0), jnp.arange(iters)
+        step, jnp.float32(0), base + jnp.arange(iters)
     )
     return out
 
-  out = scan_all()
+  out = scan_all(jnp.int32(0))
   out.block_until_ready()  # compile + warm
   start = time.perf_counter()
-  out = scan_all()
+  out = scan_all(jnp.int32(iters))
   out.block_until_ready()
   seconds = time.perf_counter() - start
   return seconds

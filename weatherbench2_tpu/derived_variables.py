@@ -42,6 +42,39 @@ class DerivedVariable:
     raise NotImplementedError
 
 
+# by-init time conventions rename raw store dims
+# (schema.apply_time_conventions); registry DVs declare the RAW names
+_CONVENTION_RENAMES = {"prediction_timedelta": "lead_time"}
+
+
+def compute_on(dv: DerivedVariable, dataset: xds.Dataset) -> xds.DataArray:
+  """Compute ``dv`` on ``dataset``, tolerating time-convention renames.
+
+  Registry DVs (e.g. PrecipitationAccumulation with
+  lead_time_name='prediction_timedelta') declare raw store dims, but
+  evaluation-engine datasets carry the by-init renamed dims — the
+  reference crashes on exactly this mismatch when such a DV is passed
+  to evaluate (reference evaluation.py:402-405 vs
+  derived_variables.py:493; its precip DVs only ever run in the
+  compute_derived_variables preprocessing CLI, which keeps raw dims).
+  Here the dataset is renamed to the DV's declared dims for the
+  computation and the result renamed back.
+  """
+  ren = {
+      raw: renamed
+      for raw, renamed in _CONVENTION_RENAMES.items()
+      if raw in dv.all_input_core_dims
+      and raw not in dataset.sizes
+      and renamed in dataset.sizes
+  }
+  if not ren:
+    return dv.compute(dataset)
+  out = dv.compute(dataset.rename({v: k for k, v in ren.items()}))
+  return out.rename_dims(
+      {k: v for k, v in ren.items() if k in out.dims}
+  )
+
+
 @dataclasses.dataclass
 class _WindVariable(DerivedVariable):
   """A variable derived from U and V wind components."""

@@ -20,6 +20,7 @@ from typing import Any, Mapping, Optional, Union
 import numpy as np
 
 from weatherbench2_tpu import config
+from weatherbench2_tpu import derived_variables
 from weatherbench2_tpu import schema
 from weatherbench2_tpu import utils
 from weatherbench2_tpu import xds
@@ -545,8 +546,8 @@ def _metric_and_region_loop(
   logging.info("Starting _metric_and_region_loop")
   for name, dv in eval_config.derived_variables.items():
     logging.info(f"derived_variable {name!r}: {dv}")
-    forecast[name] = dv.compute(forecast)
-    truth[name] = dv.compute(truth)
+    forecast[name] = derived_variables.compute_on(dv, forecast)
+    truth[name] = derived_variables.compute_on(dv, truth)
 
   results = []
   for name, metric in eval_config.metrics.items():

@@ -39,6 +39,7 @@ def _vlog(msg: str, t0=None):
     dt = f" [{time.perf_counter() - t0:.2f}s]" if t0 is not None else ""
     print(f"[stream {time.strftime('%H:%M:%S')}] {msg}{dt}", flush=True)
 
+from weatherbench2_tpu import derived_variables
 from weatherbench2_tpu import xds
 from weatherbench2_tpu import utils
 from weatherbench2_tpu.evaluation import merge_metric_results
@@ -1053,6 +1054,15 @@ def evaluate_streaming_multi(
           for cfg in eval_configs.values()
           for m in cfg.metrics.values()
       )
+      # lead-core-dim derived variables (precip accumulation) compute on
+      # the TRUTH chunk too — the compact unique-time truth has no lead
+      # axis, so those need the lead-aligned chunk-shaped truth
+      and not any(
+          {"lead_time", "prediction_timedelta"}
+          & set(dv.all_input_core_dims)
+          for cfg in eval_configs.values()
+          for dv in cfg.derived_variables.values()
+      )
       and "time" in truth.sizes
       and _UTIME not in truth.sizes
   )
@@ -1261,8 +1271,8 @@ def evaluate_streaming_multi(
           f_chunk, truth, climatology, prob_clim, cfg0, data_config
       )
     for dname, dv in cfg0.derived_variables.items():
-      f_chunk[dname] = dv.compute(f_chunk)
-      t_chunk[dname] = dv.compute(t_chunk)
+      f_chunk[dname] = derived_variables.compute_on(dv, f_chunk)
+      t_chunk[dname] = derived_variables.compute_on(dv, t_chunk)
     prepared = {
         c: {
             name: m.prepare_chunk(f_chunk, t_chunk)
@@ -1402,6 +1412,11 @@ def evaluate_streaming_multi(
           sums, counts = chunk_program_jit_by[cname](
               f_dev, t_dev, p_dev[cname], jnp.asarray(time_mask), u_dev
           )
+          if chunk_token is None:
+            # sums, not counts: temporal_mean=False configs carry
+            # counts=None leaves, which would leave the backpressure
+            # bound disengaged for exactly the largest per-time outputs
+            chunk_token = _first_leaf(sums)
           if chunk_token is None:
             chunk_token = _first_leaf(counts)
 

@@ -143,6 +143,9 @@ class LazyStack(LazyArrayBase):
     def sub(p):
       return p if rest_trivial else p[rest]
 
+    if isinstance(k0, (bool, np.bool_)):
+      # numpy scalar-bool semantics (newaxis + mask) — materialize
+      return np.asarray(self)[key]
     if isinstance(k0, (int, np.integer)):
       return sub(self._parts[int(k0)])
     if isinstance(k0, slice):
@@ -151,6 +154,15 @@ class LazyStack(LazyArrayBase):
       arr = np.asarray(k0)
       if arr.ndim != 1:
         return np.asarray(self)[key]
+      if arr.dtype == bool:
+        # boolean mask selects parts; int() of True/False would pick
+        # part 1/0 instead
+        if arr.shape[0] != len(self._parts):
+          raise IndexError(
+              f"boolean index of length {arr.shape[0]} does not match "
+              f"stack axis of length {len(self._parts)}"
+          )
+        arr = np.nonzero(arr)[0]
       parts = [self._parts[int(i)] for i in arr]
     parts = [sub(p) for p in parts]
     if parts and all(isinstance(p, LazyArrayBase) for p in parts):

@@ -262,6 +262,19 @@ def test_partition_assigns_tiers():
 def test_mixed_deterministic_wind_seeps_parity(tmp_path):
   """Official-deterministic shape: MSE/RMSE with wind vectors + Bias +
   ACC + SEEPS in ONE config; wind/SEEPS ride the pointwise tier."""
+  _run_mixed_deterministic(tmp_path)
+
+
+def test_pointwise_group_cap_parity(tmp_path, monkeypatch):
+  """WB2_FUSED_GROUP_BYTES=1 forces one kernel call PER FIELD (the
+  0.25-degree HBM-bounding path: a per-metric concatenate of the
+  official 13-variable ACC products is ~11 GB); results must be
+  identical to the single-group default."""
+  monkeypatch.setenv("WB2_FUSED_GROUP_BYTES", "1")
+  _run_mixed_deterministic(tmp_path)
+
+
+def _run_mixed_deterministic(tmp_path):
   kwargs = dict(
       variables_3d=[],
       variables_2d=[

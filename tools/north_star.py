@@ -239,9 +239,9 @@ def _parse_phase_log(log_path):
   }
 
 
-def _run_cli(args_list, log_path, checkpoint=None, fresh_data=False):
-  cmd = [sys.executable,
-         os.path.join(REPO, "scripts/evaluate.py")] + args_list
+def _run_cli(args_list, log_path, checkpoint=None, fresh_data=False,
+             script="scripts/evaluate.py", timeout_s=9000):
+  cmd = [sys.executable, os.path.join(REPO, script)] + args_list
   if checkpoint:
     if fresh_data:
       # the input stores were (re)generated: a checkpoint from an earlier
@@ -257,11 +257,11 @@ def _run_cli(args_list, log_path, checkpoint=None, fresh_data=False):
       # hang guard: a dead tunnel can wedge jax teardown indefinitely;
       # no legitimate month takes 2.5 h
       proc = subprocess.run(
-          cmd, env=ENV, stdout=log, stderr=log, timeout=9000
+          cmd, env=ENV, stdout=log, stderr=log, timeout=timeout_s
       )
     except subprocess.TimeoutExpired as e:
-      raise RuntimeError(f"CLI timed out after 9000s, log={log_path}") \
-          from e
+      raise RuntimeError(
+          f"CLI timed out after {timeout_s}s, log={log_path}") from e
   wall = time.perf_counter() - t0
   # ru_maxrss (KiB on linux) is a high-water mark over ALL children; it
   # only reflects this CLI if it exceeded every earlier child's peak —
@@ -433,6 +433,58 @@ def prob_0p25(seg):
               stores=[fp, tp])
 
 
+@workload("spectra_0p25")
+def spectra_0p25(seg):
+  """The official zonal-energy-spectra job at 1440x721 (reference
+  official-evaluation.md:947: 2020 ERA5, 13 base variables incl. the
+  store-resident wind_speed/10m_wind_speed): 6-hourly truth-like input,
+  batched device rFFT, time-mean per segment (segment means combine
+  exactly by time-count weighting, like every other workload here)."""
+  from weatherbench2_tpu import schema, xds
+
+  res = float(os.environ.get("WB2_NS_RES", "0.25"))  # smoke override
+  specs = _specs(
+      res,
+      _OFFICIAL_3D + ["wind_speed"],
+      _OFFICIAL_2D + ["10m_wind_speed", "total_precipitation_6hr"],
+      (500, 700, 850),
+  )
+  base_vars = ",".join(
+      specs["variables_3d"] + specs["variables_2d"]
+  )
+  seg_dir = os.path.join(CACHE, "spectra_0p25", seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  start, stop = month_bounds(seg)
+  truth = schema.mock_truth_data(
+      time_start=start, time_stop=stop, time_resolution="6 hours",
+      **specs,
+  )
+  path = os.path.join(seg_dir, "input.zarr")
+  t0 = time.perf_counter()
+  write_pool_random(truth, path, {"time": 8}, {"time": 8})
+  gen_s = time.perf_counter() - t0
+  out_path = os.path.join(seg_dir, "spectra.zarr")
+  shutil.rmtree(out_path, ignore_errors=True)
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--input_path={path}", f"--output_path={out_path}",
+      f"--base_variables={base_vars}",
+      f"--time_start={start}",
+      f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+      "--levels=500,700,850",
+      "--averaging_dims=time",
+  ], log, script="scripts/compute_zonal_energy_spectrum.py")
+  # all-NaN sanity inline (the shared check reads netCDF; this output
+  # is a small averaged-spectra zarr)
+  out_ds = xds.open_zarr(out_path)
+  for name, v in out_ds.variables_dict().items():
+    arr = np.asarray(v.data)
+    if arr.size and np.isnan(arr).all():
+      raise RuntimeError(f"spectra sanity: {name!r} all-NaN")
+  return dict(in_bytes=_nbytes(truth), gen_s=gen_s, wall=wall,
+              rss_kb=rss, log=log, result=None, stores=[path])
+
+
 def _gen_qclim(path, specs, variables):
   """Quantile climatology for threshold metrics: <var>_quantile with a
   quantile dim, plus mean/std so GaussianQuantileThreshold also works."""
@@ -473,8 +525,11 @@ def official13_240(seg):
 def official13_0p25(seg):
   """FULL official deterministic config at 1440x721 (the reference's
   100-worker Dataflow headline job, official-evaluation.md:546)."""
+  # init_time=1 is the reference's own 0.25-degree chunk protocol
+  # (official-evaluation.md:546); at init_time=2 the 23-field chunk
+  # program peaked 22.75G HBM (ACC pointwise products) pre-grouping
   return _official13(
-      seg, 0.25, "official13_0p25", init_chunk=2, windowed_clim=True
+      seg, 0.25, "official13_0p25", init_chunk=1, windowed_clim=True
   )
 
 

@@ -651,22 +651,48 @@ def _pointwise_chunk_results(plan, metrics, f_c, t_c, prepared, skipna):
   results = {}
   if not manifest:
     return results, leftover
-  # One kernel call per metric (its variables' rows stacked): a single
-  # global concatenate would copy every metric's chunk-sized fields into
-  # one matrix — at 0.25° that extra copy alone is several GB of HBM.
+  # Kernel calls are bounded by row bytes, not issued per metric: even a
+  # per-metric concatenate of every variable's chunk-sized fields is one
+  # matrix of (fields × chunk) rows — at 0.25° the official 13-variable
+  # ACC products alone are ~11 GB, which OOMs 16 GB HBM before the kernel
+  # runs (measured: f32[2898, 1038240] concat).  Fields are greedily
+  # packed into groups under WB2_FUSED_GROUP_BYTES; the kernel reduces
+  # the cell axis away, so per-group outputs are tiny and re-join along
+  # the column axis.  Small geometries still land in one group (one
+  # kernel call per metric, the previous behavior).
+  group_cap = int(os.environ.get("WB2_FUSED_GROUP_BYTES", 1 << 30))
   row_iter = iter(rows)
   region_coord = xds.Variable(("region",), plan["region_names"])
   for mname, entries in manifest:
     metric = metrics[mname]
     nan_mode = metric.fused_nan_mode
     m_rows = [next(row_iter) for _ in entries]
-    x = m_rows[0] if len(m_rows) == 1 else jnp.concatenate(m_rows, axis=0)
-    if plan["use_pallas"]:
-      sums, wsum, nanw = ops.fused_region_sums(x, region_w)
+    groups = []
+    cur, cur_bytes = [], 0
+    for r in m_rows:
+      rb = 4 * int(r.shape[0]) * int(r.shape[1])
+      if cur and cur_bytes + rb > group_cap:
+        groups.append(cur)
+        cur, cur_bytes = [], 0
+      cur.append(r)
+      cur_bytes += rb
+    if cur:
+      groups.append(cur)
+    parts = []
+    for g in groups:
+      x = g[0] if len(g) == 1 else jnp.concatenate(g, axis=0)
+      if plan["use_pallas"]:
+        parts.append(ops.fused_region_sums(x, region_w))
+      else:
+        parts.append(ops.fused_region_sums_reference(
+            x, jnp.asarray(region_w), xp=jnp
+        ))
+    if len(parts) == 1:
+      sums, wsum, nanw = parts[0]
     else:
-      sums, wsum, nanw = ops.fused_region_sums_reference(
-          x, jnp.asarray(region_w), xp=jnp
-      )
+      sums = jnp.concatenate([p[0] for p in parts], axis=-1)
+      wsum = jnp.concatenate([p[1] for p in parts], axis=-1)
+      nanw = jnp.concatenate([p[2] for p in parts], axis=-1)
     means_all = sums / wsum
 
     col = 0

@@ -283,3 +283,37 @@ def test_lazystack_boolean_mask_selects_parts():
     st[np.array([True, False])]
   # scalar bool defers to numpy semantics (newaxis + mask)
   np.testing.assert_array_equal(np.asarray(st[True]), dense[True])
+
+
+def test_lazystack_placement_rule_fuzz_matches_numpy():
+  """Round-3 regression: numpy moves a NON-CONTIGUOUS advanced block
+  (scalar ints count as advanced) to axis 0 of the result; per-part
+  application evaluated placement against the part's key and returned
+  transposed values for keys like ``st[1, :, [1, 3], :]`` and
+  ``st[:, [0, 1], :, [1, 2]]``.  Exhaustive small-key sweep vs numpy."""
+  from weatherbench2_tpu.xds.core import LazyStack
+
+  rng = np.random.default_rng(0)
+  full = rng.standard_normal((3, 3, 4, 5)).astype(np.float32)
+  st = LazyStack([full[i] for i in range(3)])
+
+  k0s = [slice(None), slice(0, 2), 1, 2, [0, 2],
+         np.array([True, False, True])]
+  r1s = [slice(None), slice(1, 3), 0, [0, 2]]
+  r2s = [slice(None), 1, [1, 3], np.array([0, 2])]
+  r3s = [slice(None), slice(0, 3), 2, [1, 4]]
+  checked = 0
+  for k0 in k0s:
+    for r1 in r1s:
+      for r2 in r2s:
+        for r3 in r3s:
+          key = (k0, r1, r2, r3)
+          try:
+            want = full[key]
+          except IndexError:
+            continue  # invalid broadcast combos raise in numpy too
+          got = np.asarray(st[key])
+          assert want.shape == got.shape, key
+          np.testing.assert_array_equal(want, got, err_msg=repr(key))
+          checked += 1
+  assert checked > 300

@@ -136,6 +136,29 @@ class LazyStack(LazyArrayBase):
       # silently compute an outer product instead — materialize and
       # defer to numpy for exact semantics
       return np.asarray(self)[key]
+    # numpy's placement rule: advanced indexers (scalar ints count) that
+    # are NON-CONTIGUOUS in the key move their broadcast block to axis 0
+    # of the result.  Per-part application evaluates placement against
+    # the PART's key (stack axis stripped), which can disagree with the
+    # full key — same shape, transposed values.
+    adv_pos = [i for i, r in enumerate(rest) if not isinstance(r, slice)]
+    has_arr = any(_advanced(rest[i]) for i in adv_pos)
+    if has_arr and isinstance(k0, (int, np.integer)) \
+        and not isinstance(k0, (bool, np.bool_)):
+      # An int k0 is itself advanced: the full key's advanced positions
+      # are {0} ∪ {rest+1}, contiguous only when rest's block starts at
+      # position 0.  Non-contiguous → replay full semantics on the ONE
+      # selected part (a 0-d array indexer at axis 0 reproduces the int's
+      # advanced placement), bounding the materialization to that part.
+      if adv_pos[0] != 0 or adv_pos[-1] + 1 != len(adv_pos):
+        part = np.asarray(self._parts[int(k0)])[np.newaxis]
+        return part[(np.asarray(0),) + rest]
+    elif has_arr and not isinstance(k0, (bool, np.bool_)):
+      # Stack axis survives (k0 slice/array/mask): a non-contiguous
+      # advanced block in rest goes to axis 0 of the full result, ahead
+      # of the stack axis — materialize for exact semantics.
+      if adv_pos[-1] - adv_pos[0] + 1 != len(adv_pos):
+        return np.asarray(self)[key]
     rest_trivial = all(
         isinstance(r, slice) and r == slice(None) for r in rest
     )

@@ -91,6 +91,58 @@ def run_schedule(b, l, r, b_tile, l_tile, budget, iters):
   return seconds
 
 
+# The pointwise-fused tier's kernel (fused_region_sums) has a different
+# VMEM profile: ONE input block instead of three.  Its 0.25-degree shape
+# is (fields x batch) rows by 1440*721 cells — at the official 13-var
+# config with init_time=1 chunks, ACC alone stacks 3 stats x 42
+# var-level rows.  Bandwidth counts 1 input read per cell.
+REGION_GEOMETRIES = {
+    "rs_official13_0p25": (126, 1440 * 721, 13),
+    "rs_wide_rows_0p25": (1024, 1440 * 721, 13),
+}
+
+REGION_SCHEDULES = [
+    (128, 2048, 262144),        # current default
+    (128, 4096, 524288),
+    (128, 8192, 1048576),
+    (128, 16384, 2097152),
+    (256, 8192, 2097152),
+    (512, 4096, 2097152),
+]
+
+
+def run_region_schedule(n, l, r, n_tile, l_tile, budget, iters):
+  import jax
+  import jax.numpy as jnp
+
+  from weatherbench2_tpu import ops
+
+  os.environ["WB2_REGION_TILE_BUDGET"] = str(budget)
+  rng = np.random.default_rng(0)
+  x = jnp.asarray(rng.standard_normal((n, l), dtype=np.float32))
+  w = np.abs(rng.standard_normal((r, l))).astype(np.float32)
+  w[:, :: max(1, l // 7)] = 0.0
+
+  def step(carry, i):
+    xi = x + i.astype(jnp.float32)
+    sums, wsum, nanw = ops.fused_region_sums(
+        xi, w, n_tile=n_tile, l_tile=l_tile
+    )
+    return carry + sums.sum() + wsum.sum() + nanw.sum(), 0.0
+
+  @jax.jit
+  def scan_all(base):
+    out, _ = jax.lax.scan(step, jnp.float32(0), base + jnp.arange(iters))
+    return out
+
+  out = scan_all(jnp.int32(0))
+  out.block_until_ready()
+  start = time.perf_counter()
+  out = scan_all(jnp.int32(iters))
+  out.block_until_ready()
+  return time.perf_counter() - start
+
+
 def main(iters):
   results = []
   for geo_name, (b, l, r) in GEOMETRIES.items():
@@ -107,6 +159,24 @@ def main(iters):
           "budget": budget,
           "ms_per_call": round(1000 * seconds / iters, 3),
           "read_gb_s": round(bw, 1),
+      }
+      results.append(row)
+      print(json.dumps(row), flush=True)
+  for geo_name, (n, l, r) in REGION_GEOMETRIES.items():
+    for n_tile, l_tile, budget in REGION_SCHEDULES:
+      key = f"{geo_name} n{n_tile}xl{l_tile} budget={budget}"
+      try:
+        seconds = run_region_schedule(n, l, r, n_tile, l_tile, budget,
+                                      iters)
+      except Exception as e:  # noqa: BLE001 - VMEM OOM etc.
+        print(f"{key}: FAILED {str(e)[:120]}", file=sys.stderr, flush=True)
+        continue
+      gb = n * l * 4 * iters / 1e9  # one input matrix per call
+      row = {
+          "geometry": geo_name, "n_tile": n_tile, "l_tile": l_tile,
+          "budget": budget,
+          "ms_per_call": round(1000 * seconds / iters, 3),
+          "read_gb_s": round(gb / seconds, 1),
       }
       results.append(row)
       print(json.dumps(row), flush=True)

@@ -483,7 +483,14 @@ def fused_region_sums(
   x = jnp.asarray(x, jnp.float32)
   n, l = x.shape
   r = region_w.shape[0]
-  n_tile, l_tile = _select_tiles(n, l, n_tile, l_tile, 262144)
+  # env-tunable schedule (tools/sweep_tiles.py region_sums sweep): this
+  # kernel's VMEM holds ONE input block (vs three for the deterministic
+  # kernel), so its budget default is the larger of the two
+  env_tiles = os.environ.get("WB2_REGION_TILES")
+  if env_tiles:
+    n_tile, l_tile = (int(v) for v in env_tiles.split(","))
+  budget = int(os.environ.get("WB2_REGION_TILE_BUDGET", 262144))
+  n_tile, l_tile = _select_tiles(n, l, n_tile, l_tile, budget)
   r_pad = _round_up(r, _SUBLANE)
   w = jnp.asarray(region_w, jnp.float32)
   wpos = (w > 0).astype(jnp.float32)

@@ -50,6 +50,21 @@ def _run_cli(script: str, args: list, tmp_path, extra_env=None,
   raise AssertionError("peak RSS line not found:\n" + proc.stderr[-2000:])
 
 
+def _peaks_with_retry(measures, budget):
+  """measures: {tag: zero-arg callable -> peak bytes}, insertion-ordered
+  small to large.  If the (largest - smallest) delta exceeds ``budget``,
+  re-measure every tag once and keep the per-tag minima: subprocess
+  peak-RSS is inflated one-sidedly by concurrent system load (page-cache
+  pressure, CPU contention stretching allocator growth), so a genuine
+  leak reproduces across re-measurement while load noise does not."""
+  tags = list(measures)
+  peaks = {t: measures[t]() for t in tags}
+  if peaks[tags[-1]] - peaks[tags[0]] >= budget:
+    for t in tags:
+      peaks[t] = min(peaks[t], measures[t]())
+  return peaks
+
+
 def _write_patterned(ds, path, chunks, seed=0):
   """Fill ds's shape with a cheap deterministic pattern, stream-written."""
   template = xds.Dataset(
@@ -150,17 +165,18 @@ def test_evaluate_use_mesh_rss_flat_in_input(tmp_path, eval_inputs):
   Beam streaming).  Evaluating 2.5x the inits must add only a small
   fraction of the extra bytes."""
   tp, fp, cp, fc_bytes = eval_inputs
-  peak2 = _run_cli(
-      "evaluate.py",
-      _eval_cli_args(tp, fp, cp, tmp_path / "out2", "2020-02-28"),
-      tmp_path, timeout=600,
-  )
-  peak5 = _run_cli(
-      "evaluate.py",
-      _eval_cli_args(tp, fp, cp, tmp_path / "out5", "2020-05-30"),
-      tmp_path, timeout=600,
-  )
   extra_bytes = fc_bytes * (5 - 2) / 5.0
+  peaks = _peaks_with_retry({
+      "2mo": lambda: _run_cli(
+          "evaluate.py",
+          _eval_cli_args(tp, fp, cp, tmp_path / "out2", "2020-02-28"),
+          tmp_path, timeout=600),
+      "5mo": lambda: _run_cli(
+          "evaluate.py",
+          _eval_cli_args(tp, fp, cp, tmp_path / "out5", "2020-05-30"),
+          tmp_path, timeout=600),
+  }, 0.4 * extra_bytes)
+  peak2, peak5 = peaks["2mo"], peaks["5mo"]
   assert peak5 - peak2 < 0.4 * extra_bytes, (
       f"peak RSS grew {max(0, peak5 - peak2)/2**20:.0f} MiB for "
       f"{extra_bytes/2**20:.0f} MiB more input "
@@ -176,17 +192,18 @@ def test_evaluate_suffixed_store_rss_flat_in_input(tmp_path):
   (round-2 gap: suffixed stores opened eagerly into host RAM)."""
   tp, fp, cp, fc_bytes = _build_eval_inputs(tmp_path, suffixed=True)
   extra = ("--pressure_level_suffixes",)
-  peak2 = _run_cli(
-      "evaluate.py",
-      _eval_cli_args(tp, fp, cp, tmp_path / "o2", "2020-02-28", extra),
-      tmp_path, timeout=600,
-  )
-  peak5 = _run_cli(
-      "evaluate.py",
-      _eval_cli_args(tp, fp, cp, tmp_path / "o5", "2020-05-30", extra),
-      tmp_path, timeout=600,
-  )
   extra_bytes = fc_bytes * (5 - 2) / 5.0
+  peaks = _peaks_with_retry({
+      "2mo": lambda: _run_cli(
+          "evaluate.py",
+          _eval_cli_args(tp, fp, cp, tmp_path / "o2", "2020-02-28", extra),
+          tmp_path, timeout=600),
+      "5mo": lambda: _run_cli(
+          "evaluate.py",
+          _eval_cli_args(tp, fp, cp, tmp_path / "o5", "2020-05-30", extra),
+          tmp_path, timeout=600),
+  }, 0.4 * extra_bytes)
+  peak2, peak5 = peaks["2mo"], peaks["5mo"]
   assert peak5 - peak2 < 0.4 * extra_bytes, (
       f"peak RSS grew {max(0, peak5 - peak2)/2**20:.0f} MiB for "
       f"{extra_bytes/2**20:.0f} MiB more suffixed input "
@@ -215,21 +232,24 @@ def test_evaluate_rss_flat_in_climatology(tmp_path):
   fp = str(tmp_path / "forecast.zarr")
   _write_patterned(truth, tp, {"time": 64}, seed=3)
   _write_patterned(forecast, fp, {"time": 4}, seed=4)
-  peaks = {}
   clim_bytes = {}
+  clim_paths = {}
   for hour_interval in (12, 1):
     clim = schema.mock_hourly_climatology_data(
         hour_interval=hour_interval, **specs
     )
     cp = str(tmp_path / f"clim{hour_interval}.zarr")
     _write_patterned(clim, cp, {"dayofyear": 12}, seed=5)
+    clim_paths[hour_interval] = cp
     clim_bytes[hour_interval] = sum(
         4 * v.size for v in clim.variables_dict().values()
     )
-    peaks[hour_interval] = _run_cli(
+
+  def _measure(hour_interval):
+    return _run_cli(
         "evaluate.py",
         [f"--forecast_path={fp}", f"--obs_path={tp}",
-         f"--climatology_path={cp}",
+         f"--climatology_path={clim_paths[hour_interval]}",
          f"--output_dir={tmp_path / ('outc%d' % hour_interval)}",
          "--eval_configs=deterministic", "--use_mesh",
          "--variables=geopotential,2m_temperature", "--levels=500,700",
@@ -240,7 +260,10 @@ def test_evaluate_rss_flat_in_climatology(tmp_path):
         extra_env={"WB2_CLIM_DEVICE_BYTES": "1000000"},
         timeout=600,
     )
+
   grown = clim_bytes[1] - clim_bytes[12]
+  peaks = _peaks_with_retry(
+      {12: lambda: _measure(12), 1: lambda: _measure(1)}, 0.4 * grown)
   assert grown > 200e6
   assert peaks[1] - peaks[12] < 0.4 * grown, (
       f"peak RSS grew {max(0, peaks[1] - peaks[12])/2**20:.0f} MiB for a "
@@ -321,9 +344,9 @@ def test_compute_climatology_rss_flat_in_input(big_series, tmp_path):
     _write_patterned(ds, stores[tag], {"time": 32}, seed=7)
     sizes[tag] = sum(4 * v.size for v in ds.variables_dict().values())
   nbytes1, nbytes2 = sizes["1y"], sizes["3y"]
-  peaks = {}
-  for tag, path in (("1y", stores["1y"]), ("2y", stores["3y"])):
-    peaks[tag] = _run_cli(
+
+  def _measure(tag, path):
+    return _run_cli(
         "compute_climatology.py",
         [f"--input_path={path}",
          f"--output_path={tmp_path / ('clim_' + tag + '.zarr')}",
@@ -332,7 +355,12 @@ def test_compute_climatology_rss_flat_in_input(big_series, tmp_path):
          "--start_year=2019", "--end_year=2021"],
         tmp_path, timeout=600,
     )
+
   extra = nbytes2 - nbytes1
+  peaks = _peaks_with_retry({
+      "1y": lambda: _measure("1y", stores["1y"]),
+      "2y": lambda: _measure("2y", stores["3y"]),
+  }, 0.6 * extra)
   assert extra > 600e6
   assert peaks["2y"] - peaks["1y"] < 0.6 * extra, (
       f"peak RSS grew {max(0, peaks['2y'] - peaks['1y'])/2**20:.0f} MiB "

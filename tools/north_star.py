@@ -724,6 +724,18 @@ def combine(workload_name):
     xds.to_netcdf(year, out_path)
     print(f"combined {n_segs} segments ({int(total_w)} inits) "
           f"-> {out_path}")
+    # NaN audit inline: a clean combined year should only carry
+    # structural NaNs (metrics undefined for a variable); any
+    # data-poisoning NaN shows up here as a nonzero fraction on a
+    # variable/metric pair that should be fully defined.
+    for name, v in year.variables_dict().items():
+      arr = np.asarray(v.data)
+      if not arr.size:
+        continue
+      frac = float(np.isnan(arr).mean())
+      if frac:
+        print(f"  nan_audit {result_name} {name}: "
+              f"{100 * frac:.1f}% NaN")
   # wall-clock roll-up
   wall = sum(r["wall_s"] for r in rows)
   gib = sum(r["input_gib"] for r in rows)

@@ -21,6 +21,8 @@ attempt/failure counts ride along as extra fields.
 """
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -171,6 +173,25 @@ def _timed_runs(fn, n_runs, max_attempts):
 
 
 def main():
+  # Backend-claim watchdog: when the tunneled TPU is in an outage, the
+  # axon PJRT plugin BLOCKS inside `import jax` / the first execution
+  # rather than raising, which would hang this process (and its caller)
+  # indefinitely.  Fail fast with a diagnosable error instead.
+  warm = {"done": False}
+  watchdog_s = int(os.environ.get("WB2_BENCH_WATCHDOG_S", "600"))
+
+  def _watchdog():
+    time.sleep(watchdog_s)
+    if not warm["done"]:
+      print(
+          f"bench.py: backend warmup did not complete within "
+          f"{watchdog_s}s (TPU tunnel outage?) — aborting",
+          file=sys.stderr, flush=True,
+      )
+      os._exit(3)
+
+  threading.Thread(target=_watchdog, daemon=True).start()
+
   # Warm up the accelerator session (tunnel claim + transfer path) so the
   # timed regions measure the workload, not one-time backend setup.
   import jax
@@ -184,6 +205,7 @@ def main():
       if attempt == 2:
         raise
       time.sleep(30)
+  warm["done"] = True
 
   # --- headline: official 240x121 geometry, full year ---------------------
   t240, f240, c240 = _generate_geometry("240x121", 1.5)

@@ -53,6 +53,15 @@ RESULTS = os.environ.get(
     os.path.join(CACHE, "results.jsonl") if _SMOKE
     else os.path.join(REPO, "NORTHSTAR.jsonl"),
 )
+# Segment result files (the small per-segment metric .nc outputs) are
+# persisted INTO THE REPO, not left in the /tmp cache: the sandbox wipes
+# /tmp between sessions, so a chain interrupted mid-year used to lose
+# every completed segment's results (only the JSONL rows survived) and a
+# later `combine` had nothing to combine.  ~100 KB per segment.
+SEGDIR = (
+    os.path.join(CACHE, "segments") if _SMOKE
+    else os.path.join(REPO, "results", "segments")
+)
 ENV = {
     **os.environ,
     "PYTHONPATH": f"{REPO}:/root/.axon_site",
@@ -85,9 +94,16 @@ class Pool:
 
   def __init__(self, gib=6, seed=0):
     self.rng = np.random.default_rng(seed)
-    self.buf = self.rng.standard_normal(
-        (gib << 30) // 4, dtype=np.float32
-    )
+    n = (gib << 30) // 4
+    try:
+      # torch's vectorized normal fills ~10x faster than numpy's
+      # ziggurat on this host (0.25 vs 0.027 GiB/s measured) — on a
+      # one-core sandbox that difference is minutes per driver launch
+      import torch
+      g = torch.Generator().manual_seed(seed)
+      self.buf = torch.randn(n, dtype=torch.float32, generator=g).numpy()
+    except ImportError:
+      self.buf = self.rng.standard_normal(n, dtype=np.float32)
 
   def block(self, shape):
     n = int(np.prod(shape))
@@ -188,13 +204,23 @@ def month_bounds(seg):
   return str(start), str(stop)
 
 
-def _done_segments():
+def _done_segments(pass_id=1):
+  """Segments recorded ok for a given pass.
+
+  Rows written before the pass mechanism carry no "pass" field and count
+  as pass 1.  A re-run pass (e.g. the det2_0p25 clean-year re-run after
+  the round-3 store-corruption incident) uses pass 2+: it is idempotent
+  within its own pass but never mistakes the original record for its own
+  progress — and the original rows stay untouched as the historical
+  measurement.
+  """
   done = set()
   if os.path.exists(RESULTS):
     with open(RESULTS) as f:
       for line in f:
         row = json.loads(line)
-        if row.get("status") == "ok":
+        if (row.get("status") == "ok"
+            and row.get("pass", 1) == pass_id):
           done.add((row["workload"], row["segment"]))
   return done
 
@@ -640,11 +666,39 @@ def _check_result_sanity(out):
         )
 
 
-def run(workload_name, segments=None, force=False):
+def _persist_segment_results(workload_name, seg, out):
+  """Copy the segment's small .nc results into the repo (survives /tmp)."""
+  result = out.get("result")
+  ref = result if isinstance(result, str) else (result or [None])[0]
+  if not ref:
+    return
+  src_dir = os.path.dirname(ref)
+  dst_dir = os.path.join(SEGDIR, workload_name, seg)
+  os.makedirs(dst_dir, exist_ok=True)
+  for f in os.listdir(src_dir):
+    if f.endswith(".nc"):
+      shutil.copy2(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+
+
+def _segment_results_dir(workload_name, seg):
+  """Where a segment's results live: repo-persisted first, cache second."""
+  repo_dir = os.path.join(SEGDIR, workload_name, seg)
+  if os.path.isdir(repo_dir) and any(
+      f.endswith(".nc") for f in os.listdir(repo_dir)
+  ):
+    return repo_dir
+  return os.path.join(CACHE, workload_name, seg)
+
+
+def run(workload_name, segments=None, force=False, pass_id=1):
   fn = WORKLOADS[workload_name]
-  done = set() if force else _done_segments()
+  done = set() if force else _done_segments(pass_id)
   segments = segments or _months()
   for seg in segments:
+    if os.path.exists("/tmp/ns_stop"):
+      # clean inter-segment halt (e.g. to free the chip for bench.py)
+      print("stop file /tmp/ns_stop present — halting chain", flush=True)
+      return
     if (workload_name, seg) in done:
       print(f"skip {workload_name} {seg} (done)", flush=True)
       continue
@@ -655,14 +709,18 @@ def run(workload_name, segments=None, force=False):
       _check_result_sanity(out)
     except Exception as e:  # noqa: BLE001 - record and continue
       _record({"workload": workload_name, "segment": seg,
-               "status": "error", "error": str(e)[:500]})
+               "status": "error",
+               **({"pass": pass_id} if pass_id != 1 else {}),
+               "error": str(e)[:500]})
       continue
+    _persist_segment_results(workload_name, seg, out)
     phases = _parse_phase_log(out["log"])
     gib = out["in_bytes"] / 2**30
     row = {
         "workload": workload_name,
         "segment": seg,
         "status": "ok",
+        **({"pass": pass_id} if pass_id != 1 else {}),
         "wall_s": round(out["wall"], 1),
         "input_gib": round(gib, 2),
         "gib_per_s": round(gib / out["wall"], 3),
@@ -678,24 +736,37 @@ def run(workload_name, segments=None, force=False):
       shutil.rmtree(store, ignore_errors=True)
 
 
-def combine(workload_name):
-  """Init-count-weighted mean of segment results -> the year result."""
+def combine(workload_name, pass_id=None, expect_segments=None):
+  """Init-count-weighted mean of segment results -> the year result.
+
+  pass_id=None combines the latest ok row per segment regardless of
+  pass; an explicit pass combines only that pass's rows.  If
+  ``expect_segments`` is given (e.g. 12 for a month-segmented year) the
+  combine REFUSES to write a partial year — a missing segment's files
+  (e.g. a /tmp wipe before results were repo-persisted) must fail
+  loudly, not silently thin the weighting.
+  """
   from weatherbench2_tpu import xds
-  from weatherbench2_tpu.evaluation import merge_metric_results
 
   by_seg = {}
   with open(RESULTS) as f:
     for line in f:
       row = json.loads(line)
-      if row["workload"] == workload_name and row["status"] == "ok":
+      if (row["workload"] == workload_name and row["status"] == "ok"
+          and (pass_id is None or row.get("pass", 1) == pass_id)):
         by_seg[row["segment"]] = row  # last ok row per segment wins
   rows = list(by_seg.values())
   segs = sorted(by_seg)
+  if expect_segments is not None and len(segs) != expect_segments:
+    raise SystemExit(
+        f"combine {workload_name}: {len(segs)} segments recorded, "
+        f"expected {expect_segments} — refusing a partial year"
+    )
   from weatherbench2_tpu.xds import io_netcdf
 
   if not segs:
     raise SystemExit(f"no segment results for {workload_name}")
-  first_dir = os.path.join(CACHE, workload_name, segs[0])
+  first_dir = _segment_results_dir(workload_name, segs[0])
   result_names = sorted(
       f for f in os.listdir(first_dir) if f.endswith(".nc")
   )
@@ -705,8 +776,12 @@ def combine(workload_name):
     total_w = 0.0
     n_segs = 0
     for seg in segs:
-      p = os.path.join(CACHE, workload_name, seg, result_name)
+      p = os.path.join(
+          _segment_results_dir(workload_name, seg), result_name
+      )
       if not os.path.exists(p):
+        print(f"  MISSING segment files: {workload_name} {seg} "
+              f"{result_name} (not repo-persisted and cache wiped?)")
         continue
       ds = io_netcdf.open_netcdf(p)
       start, stop = month_bounds(seg)
@@ -719,8 +794,18 @@ def combine(workload_name):
       else:
         weighted = weighted + ds * w
       total_w += w
+    if n_segs != len(segs):
+      raise SystemExit(
+          f"combine {workload_name}: only {n_segs}/{len(segs)} recorded "
+          f"segments have {result_name} on disk — refusing a partial year"
+      )
     year = weighted / total_w
-    out_path = os.path.join(CACHE, workload_name, "year_" + result_name)
+    out_path = (
+        os.path.join(CACHE, workload_name, "year_" + result_name)
+        if _SMOKE else
+        os.path.join(REPO, "results",
+                     f"northstar_{workload_name}_year_{result_name}")
+    )
     xds.to_netcdf(year, out_path)
     print(f"combined {n_segs} segments ({int(total_w)} inits) "
           f"-> {out_path}")
@@ -755,12 +840,19 @@ def main():
   ap.add_argument("--seg", nargs="*", default=None)
   ap.add_argument("--force", action="store_true",
                   help="re-run segments already recorded ok")
+  ap.add_argument("--pass-id", type=int, default=1, dest="pass_id",
+                  help="re-run pass: rows tagged with this pass; "
+                       "idempotence is per-pass (default 1 = original)")
+  ap.add_argument("--expect-segments", type=int, default=None,
+                  help="combine: require exactly this many segments")
   args = ap.parse_args()
   os.makedirs(CACHE, exist_ok=True)
   if args.cmd == "run":
-    run(args.workload, args.seg, force=args.force)
+    run(args.workload, args.seg, force=args.force, pass_id=args.pass_id)
   else:
-    combine(args.workload)
+    combine(args.workload,
+            pass_id=None if args.pass_id == 1 else args.pass_id,
+            expect_segments=args.expect_segments)
 
 
 if __name__ == "__main__":

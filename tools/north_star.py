@@ -690,10 +690,22 @@ def _segment_results_dir(workload_name, seg):
   return os.path.join(CACHE, workload_name, seg)
 
 
+def _free_gib(path):
+  st = os.statvfs(path)
+  return st.f_bavail * st.f_frsize / 2**30
+
+
 def run(workload_name, segments=None, force=False, pass_id=1):
   fn = WORKLOADS[workload_name]
   done = set() if force else _done_segments(pass_id)
   segments = segments or _months()
+  # Free-disk gate: a 0.25-degree segment writes up to ~45 GiB of input
+  # stores before the eval starts.  Starting a segment into a nearly
+  # full disk produced the round-3 ENOSPC cascade (12 recorded error
+  # rows from ONE full disk, each failed datagen leaving partial stores
+  # that kept the disk full for the next month).  Halt the chain loudly
+  # instead of burning error rows.
+  min_free = float(os.environ.get("WB2_NS_MIN_FREE_GIB", "50"))
   for seg in segments:
     if os.path.exists("/tmp/ns_stop"):
       # clean inter-segment halt (e.g. to free the chip for bench.py)
@@ -702,6 +714,11 @@ def run(workload_name, segments=None, force=False, pass_id=1):
     if (workload_name, seg) in done:
       print(f"skip {workload_name} {seg} (done)", flush=True)
       continue
+    free = _free_gib(CACHE if os.path.exists(CACHE) else "/tmp")
+    if free < min_free:
+      print(f"HALT: {free:.1f} GiB free < WB2_NS_MIN_FREE_GIB={min_free}"
+            f" — not starting {workload_name} {seg}", flush=True)
+      return
     print(f"=== {workload_name} {seg} ===", flush=True)
     t_seg = time.perf_counter()
     try:
@@ -712,6 +729,10 @@ def run(workload_name, segments=None, force=False, pass_id=1):
                "status": "error",
                **({"pass": pass_id} if pass_id != 1 else {}),
                "error": str(e)[:500]})
+      # partial input stores from a failed datagen would otherwise keep
+      # the disk full for every later segment (the ENOSPC cascade)
+      shutil.rmtree(os.path.join(CACHE, workload_name, seg),
+                    ignore_errors=True)
       continue
     _persist_segment_results(workload_name, seg, out)
     phases = _parse_phase_log(out["log"])

@@ -552,14 +552,23 @@ def official13_0p25(seg):
   """FULL official deterministic config at 1440x721 (the reference's
   100-worker Dataflow headline job, official-evaluation.md:546)."""
   # init_time=1 is the reference's own 0.25-degree chunk protocol
-  # (official-evaluation.md:546); at init_time=2 the 23-field chunk
-  # program peaked 22.75G HBM (ACC pointwise products) pre-grouping
+  # (official-evaluation.md:546).  lead_time=7 splits each init's 21
+  # leads into 3 even slices: at full-lead chunks the 29-field program
+  # kept ~8.3 GB of input resident PER CHUNK (forecast 2.0 + valid-time
+  # truth window 3.1 + ACC/SEEPS climatology companion 3.2 GB) — with
+  # the prefetch pipeline's 2 chunks in flight that overflows the 16 GB
+  # HBM and surfaces as an async RESOURCE_EXHAUSTED at the next sync
+  # point (the round-3 rc=1 failures).  Lead slicing cuts the resident
+  # set ~3x; checkpointing is dropped (unsupported with lead chunking —
+  # a 5-day segment simply re-runs on failure).
   return _official13(
-      seg, 0.25, "official13_0p25", init_chunk=1, windowed_clim=True
+      seg, 0.25, "official13_0p25", init_chunk=1, lead_chunk=7,
+      windowed_clim=True,
   )
 
 
-def _official13(seg, res, name, init_chunk, windowed_clim=False):
+def _official13(seg, res, name, init_chunk, lead_chunk=None,
+                windowed_clim=False):
   res = float(os.environ.get("WB2_NS_RES", res))  # smoke override
   specs = _specs(res, _OFFICIAL_3D, _OFFICIAL_2D, (500, 700, 850))
   seg_dir = os.path.join(CACHE, name, seg)
@@ -598,8 +607,14 @@ def _official13(seg, res, name, init_chunk, windowed_clim=False):
       "--levels=500,700,850",
       f"--time_start={start}",
       f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
-      f"--input_chunks=init_time={init_chunk}",
-  ], log, checkpoint=os.path.join(seg_dir, "ckpt"), fresh_data=gen_s > 0)
+      "--input_chunks=init_time=%d%s" % (
+          init_chunk,
+          f",lead_time={lead_chunk}" if lead_chunk else "",
+      ),
+  ], log,
+      checkpoint=(None if lead_chunk
+                  else os.path.join(seg_dir, "ckpt")),
+      fresh_data=gen_s > 0)
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "deterministic.nc"),
               stores=[fp, tp])

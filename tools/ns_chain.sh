@@ -2,6 +2,8 @@
 # Round-3 measurement chain: the workloads queued behind the backend
 # outage, in priority order.  Run detached (nohup); halts cleanly
 # between segments if /tmp/ns_stop exists.  Log: /tmp/ns_chain.log.
+# Idempotent: north_star.py skips segments already recorded ok (per
+# pass), so relaunching after a session restart resumes where it died.
 set -u
 cd /root/repo
 L=${WB2_CHAIN_LOG:-/tmp/ns_chain.log}

@@ -71,14 +71,18 @@ def test_lead_chunking_with_lead_core_derived_variable_raises(tmp_path):
     )
 
 
-def test_resume_with_lead_chunking_raises(tmp_path):
+def test_resume_without_accumulators_raises(tmp_path):
+  """A state with chunk progress but no accumulators cannot resume: the
+  covered chunks' contributions would be silently dropped.  (Round 4
+  replaced the old blanket lead-chunking refusal with real support —
+  see test_checkpoint_round4.py — so this is the remaining guard.)"""
   truth_path, fc_path = _mk_data(tmp_path)
   dc = _data_config(tmp_path, truth_path, fc_path)
   forecast, truth, clim = evaluation.open_forecast_and_truth_datasets(
       dc, config.Eval(metrics={"mse": metrics.MSE()}), lazy=True
   )
   state = streaming.StreamingState(chunk_index=1)
-  with pytest.raises(ValueError, match="lead_time"):
+  with pytest.raises(ValueError, match="no accumulators"):
     streaming.evaluate_streaming(
         forecast, truth, clim,
         config.Eval(metrics={"mse": metrics.MSE()},

@@ -14,8 +14,10 @@ segment values (the same reduction the engine's own accumulators apply
 across chunks, weatherbench2_tpu/parallel/streaming.py).
 
 Idempotent: completed segments are recorded in NORTHSTAR.jsonl and skipped
-on re-run, so the driver survives restarts (and `--checkpoint_path` guards
-each in-flight segment).
+on re-run, so the driver survives restarts.  `--checkpoint_path` guards
+each in-flight segment for every workload shape the engine can checkpoint
+(see streaming.py: lead-chunked and grouped-config runs gained resume
+support in round 4; the driver passes the flag wherever supported).
 
 Usage:
   python tools/north_star.py run det2_0p25 [--seg 2020-01 ...]
@@ -145,6 +147,7 @@ def write_pool_random(ds, path, chunks, block_dims, transforms=None):
     if not os.path.exists(incomplete):
       return
     shutil.rmtree(path)
+  _preflight_disk(ds, path)
   template = xds.Dataset(
       {k: xds.stub_variable(v.dims, v.sizes, np.float32)
        for k, v in ds.variables_dict().items()},
@@ -186,6 +189,32 @@ def write_pool_random(ds, path, chunks, block_dims, transforms=None):
 
 def _nbytes(ds):
   return sum(4 * v.size for v in ds.variables_dict().values())
+
+
+class DiskPreflightError(RuntimeError):
+  """A segment's stores cannot fit in free disk with headroom.
+
+  Raised BEFORE any bytes are written (the round-3 ENOSPC cascade came
+  from segments that half-wrote their stores and died, leaving the disk
+  full for every later month).  The driver halts the chain on this
+  instead of burning an error row per segment."""
+
+
+def _preflight_disk(ds, path):
+  """Refuse to start writing `ds` unless it fits with headroom."""
+  need_gib = _nbytes(ds) / 2**30
+  headroom = float(os.environ.get("WB2_NS_HEADROOM_GIB", "20"))
+  parent = os.path.dirname(path) or "."
+  os.makedirs(parent, exist_ok=True)
+  free = _free_gib(parent)
+  if os.path.exists(os.path.join(path, ".zmetadata")) and not os.path.exists(
+      os.path.join(path, ".pool_incomplete")):
+    return  # already fully written: no new bytes needed
+  if free - need_gib < headroom:
+    raise DiskPreflightError(
+        f"preflight: store {path} needs {need_gib:.1f} GiB but only "
+        f"{free:.1f} GiB free (headroom {headroom} GiB) — not starting"
+    )
 
 
 def month_bounds(seg):
@@ -266,7 +295,7 @@ def _parse_phase_log(log_path):
 
 
 def _run_cli(args_list, log_path, checkpoint=None, fresh_data=False,
-             script="scripts/evaluate.py", timeout_s=9000):
+             script="scripts/evaluate.py", timeout_s=9000, extra_env=None):
   cmd = [sys.executable, os.path.join(REPO, script)] + args_list
   if checkpoint:
     if fresh_data:
@@ -278,12 +307,13 @@ def _run_cli(args_list, log_path, checkpoint=None, fresh_data=False,
     cmd += [f"--checkpoint_path={checkpoint}", "--checkpoint_every=4"]
   before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
   t0 = time.perf_counter()
+  env = {**ENV, **(extra_env or {})}
   with open(log_path, "w") as log:
     try:
       # hang guard: a dead tunnel can wedge jax teardown indefinitely;
       # no legitimate month takes 2.5 h
       proc = subprocess.run(
-          cmd, env=ENV, stdout=log, stderr=log, timeout=timeout_s
+          cmd, env=env, stdout=log, stderr=log, timeout=timeout_s
       )
     except subprocess.TimeoutExpired as e:
       raise RuntimeError(
@@ -353,8 +383,16 @@ def _gen_clim(path, specs, extra_3d=(), extra_2d=(), doy_range=None):
   return clim
 
 
-def _gen_month(seg, out_dir, specs, ensemble=None, truth_res="6 hours"):
-  """Generate forecast + truth stores for one month segment."""
+def _gen_month(seg, out_dir, specs, ensemble=None, truth_res="6 hours",
+               lead_chunk=None):
+  """Generate forecast + truth stores for one month segment.
+
+  ``lead_chunk`` aligns the forecast store's chunk grid with an engine
+  that streams ``init_time=1,lead_time=k`` chunks: zarr reads are
+  chunk-granular, so a (time=2, lead=-1) store makes each engine chunk
+  read ~6x the bytes it needs (measured 239 s host prepare per chunk on
+  the 0.25-degree official13 workload before this alignment).
+  """
   from weatherbench2_tpu import schema
 
   start, stop = month_bounds(seg)
@@ -380,6 +418,12 @@ def _gen_month(seg, out_dir, specs, ensemble=None, truth_res="6 hours"):
   if ensemble:
     fc_blocks = {"time": 1, "realization": 10}
     fc_chunks = {"time": 1, "realization": 10, "prediction_timedelta": -1}
+    if lead_chunk:
+      fc_blocks["prediction_timedelta"] = lead_chunk
+      fc_chunks["prediction_timedelta"] = lead_chunk
+  elif lead_chunk:
+    fc_blocks = {"time": 1, "prediction_timedelta": lead_chunk}
+    fc_chunks = {"time": 1, "prediction_timedelta": lead_chunk}
   write_pool_random(forecast, fp, fc_chunks, fc_blocks)
   gen_s = time.perf_counter() - t0
   return fp, tp, _nbytes(forecast) + _nbytes(truth), gen_s, forecast
@@ -439,7 +483,9 @@ def prob_0p25(seg):
   os.makedirs(seg_dir, exist_ok=True)
   qclim_path = os.path.join(CACHE, "prob_0p25", "qclim.zarr")
   _gen_qclim(qclim_path, specs, ["2m_temperature"])
-  fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs, ensemble=50)
+  fp, tp, in_bytes, gen_s, _ = _gen_month(
+      seg, seg_dir, specs, ensemble=50, lead_chunk=7
+  )
   start, stop = month_bounds(seg)
   log = os.path.join(seg_dir, "cli.log")
   wall, rss = _run_cli([
@@ -453,7 +499,7 @@ def prob_0p25(seg):
       f"--time_start={start}",
       f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
       "--input_chunks=init_time=1,lead_time=7",
-  ], log)
+  ], log, checkpoint=os.path.join(seg_dir, "ckpt"), fresh_data=gen_s > 0)
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "probabilistic.nc"),
               stores=[fp, tp])
@@ -559,16 +605,20 @@ def official13_0p25(seg):
   # the prefetch pipeline's 2 chunks in flight that overflows the 16 GB
   # HBM and surfaces as an async RESOURCE_EXHAUSTED at the next sync
   # point (the round-3 rc=1 failures).  Lead slicing cuts the resident
-  # set ~3x; checkpointing is dropped (unsupported with lead chunking —
-  # a 5-day segment simply re-runs on failure).
+  # set ~3x.  Round-4 additions: the windowed climatology (~3.7 GB)
+  # rides device-RESIDENT (WB2_CLIM_DEVICE_BYTES raised past it) — the
+  # per-chunk host-gather shipped ~3.1 GB of climatology PER CHUNK
+  # (~60% of all h2d bytes); and checkpointing is back on now that the
+  # engine snapshots lead-chunked streams.
   return _official13(
       seg, 0.25, "official13_0p25", init_chunk=1, lead_chunk=7,
       windowed_clim=True,
+      extra_env={"WB2_CLIM_DEVICE_BYTES": "4500000000"},
   )
 
 
 def _official13(seg, res, name, init_chunk, lead_chunk=None,
-                windowed_clim=False):
+                windowed_clim=False, extra_env=None):
   res = float(os.environ.get("WB2_NS_RES", res))  # smoke override
   specs = _specs(res, _OFFICIAL_3D, _OFFICIAL_2D, (500, 700, 850))
   seg_dir = os.path.join(CACHE, name, seg)
@@ -594,7 +644,9 @@ def _official13(seg, res, name, init_chunk, lead_chunk=None,
                 "total_precipitation_24hr_seeps_dry_fraction"],
       doy_range=doy_range,
   )
-  fp, tp, in_bytes, gen_s, _ = _gen_month(seg, seg_dir, specs)
+  fp, tp, in_bytes, gen_s, _ = _gen_month(
+      seg, seg_dir, specs, lead_chunk=lead_chunk
+  )
   start, stop = month_bounds(seg)
   log = os.path.join(seg_dir, "cli.log")
   wall, rss = _run_cli([
@@ -612,12 +664,15 @@ def _official13(seg, res, name, init_chunk, lead_chunk=None,
           f",lead_time={lead_chunk}" if lead_chunk else "",
       ),
   ], log,
-      checkpoint=(None if lead_chunk
-                  else os.path.join(seg_dir, "ckpt")),
-      fresh_data=gen_s > 0)
+      checkpoint=os.path.join(seg_dir, "ckpt"),
+      fresh_data=gen_s > 0, extra_env=extra_env)
+  # windowed (per-segment) climatology stores are segment-scoped: leak
+  # them and ~4 GiB/segment accumulates until the free-disk gate halts a
+  # healthy chain (round-3 advisor finding) — reclaim with the inputs
+  stores = [fp, tp] + ([clim_path] if windowed_clim else [])
   return dict(in_bytes=in_bytes, gen_s=gen_s, wall=wall, rss_kb=rss,
               log=log, result=os.path.join(seg_dir, "deterministic.nc"),
-              stores=[fp, tp])
+              stores=stores)
 
 
 @workload("prob_240")
@@ -710,6 +765,39 @@ def _free_gib(path):
   return st.f_bavail * st.f_frsize / 2**30
 
 
+def _persist_error_log(workload_name, seg, seg_dir):
+  """Copy the failing CLI log's tail to the repo before any cleanup.
+
+  The error row points at cli.log; round 3's error-path rmtree deleted
+  that very file, leaving undiagnosable failures (advisor finding)."""
+  src = os.path.join(seg_dir, "cli.log")
+  if not os.path.exists(src):
+    return None
+  dst_dir = os.path.join(SEGDIR, workload_name, seg)
+  os.makedirs(dst_dir, exist_ok=True)
+  dst = os.path.join(dst_dir, "cli_error.log")
+  try:
+    with open(src) as f:
+      tail = f.readlines()[-120:]
+    with open(dst, "w") as f:
+      f.writelines(tail)
+    return dst
+  except OSError:
+    return None
+
+
+def _remove_incomplete_stores(seg_dir):
+  """Remove only half-written stores (those still carrying the
+  .pool_incomplete sentinel); complete stores survive for the retry."""
+  if not os.path.isdir(seg_dir):
+    return
+  for name in os.listdir(seg_dir):
+    p = os.path.join(seg_dir, name)
+    if os.path.isdir(p) and os.path.exists(
+        os.path.join(p, ".pool_incomplete")):
+      shutil.rmtree(p, ignore_errors=True)
+
+
 def run(workload_name, segments=None, force=False, pass_id=1):
   fn = WORKLOADS[workload_name]
   done = set() if force else _done_segments(pass_id)
@@ -739,15 +827,29 @@ def run(workload_name, segments=None, force=False, pass_id=1):
     try:
       out = fn(seg)
       _check_result_sanity(out)
+    except DiskPreflightError as e:
+      # nothing was written; halting beats an error row per segment
+      print(f"HALT: {e}", flush=True)
+      return
     except Exception as e:  # noqa: BLE001 - record and continue
+      seg_dir = os.path.join(CACHE, workload_name, seg)
+      log_copy = _persist_error_log(workload_name, seg, seg_dir)
       _record({"workload": workload_name, "segment": seg,
                "status": "error",
                **({"pass": pass_id} if pass_id != 1 else {}),
-               "error": str(e)[:500]})
-      # partial input stores from a failed datagen would otherwise keep
-      # the disk full for every later segment (the ENOSPC cascade)
-      shutil.rmtree(os.path.join(CACHE, workload_name, seg),
-                    ignore_errors=True)
+               "error": str(e)[:500],
+               **({"log_tail": log_copy} if log_copy else {})})
+      # Cleanup is SCOPED (round-3 advisor): a transient failure (tunnel
+      # stall, CLI timeout, backend outage) must not discard ~45 GiB of
+      # valid input stores that a retry can reuse — only disk-pressure
+      # failures and half-written stores keep the disk poisoned.
+      err_text = str(e)
+      disk_pressure = any(
+          s in err_text for s in ("ENOSPC", "No space", "DiskPreflight"))
+      if disk_pressure:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+      else:
+        _remove_incomplete_stores(seg_dir)
       continue
     _persist_segment_results(workload_name, seg, out)
     phases = _parse_phase_log(out["log"])

@@ -728,11 +728,13 @@ def evaluate_with_mesh(
   Streams (init_)time chunks through a jit-fused metric program with
   on-device (sum, count) accumulators; shards chunks over a
   ``jax.sharding.Mesh`` when provided.  With ``checkpoint_path``, each
-  eval config streams with periodic accumulator checkpoints (every
-  ``checkpoint_every`` chunks) named ``<checkpoint_path>.<config>``, and
-  an existing checkpoint file resumes the run (the reference leans on
-  Dataflow bundle retries instead; it has no resume).  Extra kwargs
-  accepted for CLI compatibility with the reference are ignored.
+  eval-config GROUP (configs sharing one chunk stream) takes periodic
+  accumulator checkpoints (every ``checkpoint_every`` chunks) named
+  ``<checkpoint_path>.<cfg[+cfg...]>``, and an existing checkpoint file
+  resumes the run — including grouped multi-config and lead_time-chunked
+  streams (the reference leans on Dataflow bundle retries instead; it
+  has no resume).  Extra kwargs accepted for CLI compatibility with the
+  reference are ignored.
   """
   del fanout, shuffle_before_temporal_mean, num_threads, runner, argv
   from weatherbench2_tpu.parallel import streaming
@@ -775,14 +777,8 @@ def evaluate_with_mesh(
     )
 
   groups: dict = {}
-  if checkpoint_path:
-    # checkpoint state covers a single config's accumulators; stream each
-    # config separately (trading the shared-chunk-read optimization)
-    for eval_name, eval_config in eval_configs.items():
-      groups[("__ckpt__", eval_name)] = {eval_name: eval_config}
-  else:
-    for eval_name, eval_config in eval_configs.items():
-      groups.setdefault(_group_key(eval_config), {})[eval_name] = eval_config
+  for eval_name, eval_config in eval_configs.items():
+    groups.setdefault(_group_key(eval_config), {})[eval_name] = eval_config
 
   for group in groups.values():
     logging.info(f"Eval config group: {sorted(group)}")
@@ -794,13 +790,16 @@ def evaluate_with_mesh(
     cpath = None
     state = None
     if checkpoint_path:
-      (only_name,) = group
-      cpath = f"{checkpoint_path}.{only_name}"
+      # one state file per GROUP: grouped configs share the chunk stream,
+      # so their accumulators snapshot together (StreamingState.configs)
+      group_tag = "+".join(sorted(group))
+      cpath = f"{checkpoint_path}.{group_tag}"
       if os.path.exists(cpath):
         state = streaming.StreamingState.load(cpath)
         logging.info(
-            f"Resuming {only_name} from {cpath} "
-            f"(chunk_index={state.chunk_index})"
+            f"Resuming {group_tag} from {cpath} "
+            f"(lead_index={state.lead_index}, "
+            f"chunk_index={state.chunk_index})"
         )
     results_by_config = streaming.evaluate_streaming_multi(
         forecast=forecast,

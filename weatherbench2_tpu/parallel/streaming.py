@@ -155,6 +155,20 @@ class StreamingState:
   ``chunk_size``/``total`` fingerprint the chunking the state was taken
   under: chunk_index counts CHUNKS, so resuming with a different chunk
   size would silently skip the wrong time range.
+
+  Round-4 generalization (replacing the reference's Dataflow bundle
+  retries for the two north-star shapes, reference evaluation.py:758-828):
+
+  * ``configs`` maps eval-config name -> (sums, counts) so a GROUPED
+    multi-config stream (e.g. probabilistic + ensemble_binary sharing one
+    chunk stream) checkpoints every config's accumulators together.
+  * ``lead_index``/``n_lead_slices``/``completed_leads`` capture
+    lead_time-chunked runs: completed lead slices' finalized results are
+    carried whole (host datasets), the in-flight slice resumes from its
+    accumulators.
+
+  ``sums``/``counts`` remain as the legacy single-config v1 fields so
+  pre-round-4 checkpoints still load and resume.
   """
 
   sums: Any = None
@@ -162,6 +176,10 @@ class StreamingState:
   chunk_index: int = 0
   chunk_size: Optional[int] = None
   total: Optional[int] = None
+  configs: Any = None  # {cname: (sums, counts)}
+  lead_index: int = 0
+  n_lead_slices: Optional[int] = None
+  completed_leads: Any = None  # [ {cname: results Dataset}, ... ]
 
   def save(self, path: str) -> None:
     import jax
@@ -169,12 +187,17 @@ class StreamingState:
     # ONE batched device_get: per-leaf np.asarray would pay a device
     # round-trip per metric x variable leaf (minutes over a remote
     # tunnel), the batched form pays one
-    host = jax.device_get((self.sums, self.counts))
+    host = jax.device_get((self.sums, self.counts, self.configs))
     with open(path, "wb") as f:
       pickle.dump(
-          {"sums": host[0], "counts": host[1],
+          {"version": 2,
+           "sums": host[0], "counts": host[1],
            "chunk_index": self.chunk_index,
-           "chunk_size": self.chunk_size, "total": self.total},
+           "chunk_size": self.chunk_size, "total": self.total,
+           "configs": host[2],
+           "lead_index": self.lead_index,
+           "n_lead_slices": self.n_lead_slices,
+           "completed_leads": self.completed_leads},
           f,
       )
 
@@ -184,7 +207,11 @@ class StreamingState:
       d = pickle.load(f)
     return cls(sums=d["sums"], counts=d["counts"],
                chunk_index=d["chunk_index"],
-               chunk_size=d.get("chunk_size"), total=d.get("total"))
+               chunk_size=d.get("chunk_size"), total=d.get("total"),
+               configs=d.get("configs"),
+               lead_index=d.get("lead_index", 0),
+               n_lead_slices=d.get("n_lead_slices"),
+               completed_leads=d.get("completed_leads"))
 
 
 def _region_weight_setup(regions, forecast):
@@ -922,7 +949,9 @@ def evaluate_streaming_multi(
   configs by that key before calling this.
 
   Returns {config_name: results dataset}.  Checkpoint/resume (`state`,
-  `checkpoint_path`) is supported for single-config calls only.
+  `checkpoint_path`) covers grouped multi-config and lead_time-chunked
+  runs: every config's accumulators snapshot together, and completed
+  lead slices' results ride in the state (see StreamingState).
   """
   import jax
   import jax.numpy as jnp
@@ -941,10 +970,6 @@ def evaluate_streaming_multi(
           "evaluate_streaming_multi requires configs with identical "
           "input construction (baselines/derived/against_analysis)"
       )
-  if len(eval_configs) > 1 and (state is not None or checkpoint_path):
-    raise ValueError(
-        "checkpoint/resume is only supported for single-config streaming"
-    )
   if state is not None or checkpoint_path:
     # per-time (temporal_mean=False) results live in a host-side list,
     # not in StreamingState: resuming would silently drop every
@@ -1237,6 +1262,31 @@ def evaluate_streaming_multi(
   # ---- chunk loop ----------------------------------------------------------
   if state is None:
     state = StreamingState()
+  # normalize legacy v1 single-config states to the v2 `configs` form
+  if state.configs is None and state.sums is not None:
+    if len(eval_configs) > 1:
+      raise ValueError(
+          "legacy single-config checkpoint cannot resume a grouped "
+          "multi-config run; delete the checkpoint or stream the config "
+          "alone"
+      )
+    only = next(iter(eval_configs))
+    state.configs = {only: (state.sums, state.counts)}
+  resume_lead = int(state.lead_index or 0)
+  resume_chunk = int(state.chunk_index or 0)
+  resume_configs = state.configs
+  completed_leads = list(state.completed_leads or [])
+  if resume_configs is not None and set(resume_configs) != set(eval_configs):
+    raise ValueError(
+        f"checkpoint covers configs {sorted(resume_configs)} but this "
+        f"run streams {sorted(eval_configs)}; pass the same config group "
+        "to resume"
+    )
+  if (resume_chunk or resume_lead) and resume_configs is None:
+    raise ValueError(
+        "checkpoint records chunk progress but carries no accumulators; "
+        "resuming would silently drop the covered chunks"
+    )
   if state.chunk_index:
     # chunk_index counts chunks: resuming under a different chunk size
     # would silently skip the wrong time range (a different TOTAL is
@@ -1248,10 +1298,15 @@ def evaluate_streaming_multi(
           f"this run uses chunk_size={chunk_size}; pass the same "
           "--input_chunks to resume"
       )
-    if state.chunk_index * chunk_size > total:
+    # compare in CHUNKS, not entries: the final chunk is ragged, so a
+    # state at chunk_index == n_chunks legitimately covers the range
+    # even though chunk_index * chunk_size exceeds `total`
+    n_chunks = -(-total // chunk_size)
+    if state.chunk_index > n_chunks:
       raise ValueError(
           f"checkpoint covers {state.chunk_index} chunks of "
-          f"{chunk_size} but this run has only {total} entries"
+          f"{chunk_size} but this run has only {total} entries "
+          f"({n_chunks} chunks)"
       )
   nontemporal_results = {c: [] for c in eval_configs}
 
@@ -1359,30 +1414,39 @@ def evaluate_streaming_multi(
       else [slice(None)]
   )
 
-  if len(lead_slices) > 1 and (
-      state.sums is not None or state.chunk_index
-  ):
-    raise ValueError(
-        "resuming from a checkpoint is not supported with lead_time "
-        "chunking: per-lead accumulators are not captured in the state"
-    )
-  if len(lead_slices) > 1 and checkpoint_path:
-    raise ValueError(
-        "checkpointing is not supported with lead_time chunking: the "
-        "state would only cover the current lead slice"
-    )
+  # Lead-chunked resume integrity: the state's slice grid must line up
+  # with this run's, and every completed slice's results must be present
+  # (they ride in the state so a resumed run never recomputes them).
+  if resume_configs is not None or resume_chunk or resume_lead:
+    if (state.n_lead_slices is not None
+        and state.n_lead_slices != len(lead_slices)):
+      raise ValueError(
+          f"checkpoint was taken with {state.n_lead_slices} lead slices "
+          f"but this run has {len(lead_slices)}; pass the same "
+          "--input_chunks lead_time to resume"
+      )
+    if resume_lead >= len(lead_slices) or len(completed_leads) < resume_lead:
+      raise ValueError(
+          f"checkpoint lead_index={resume_lead} with "
+          f"{len(completed_leads)} completed slices does not fit a run "
+          f"of {len(lead_slices)} lead slices"
+      )
 
   for lead_i, lead_sl in enumerate(lead_slices):
-    if lead_i == 0 and state.sums is not None:
-      sums_acc = {c: state.sums for c in eval_configs}
-      counts_acc = {c: state.counts for c in eval_configs}
+    if lead_i < resume_lead:
+      # finalized in a previous run; carried whole inside the checkpoint
+      lead_results.append(completed_leads[lead_i])
+      continue
+    if lead_i == resume_lead and resume_configs is not None:
+      sums_acc = {c: resume_configs[c][0] for c in eval_configs}
+      counts_acc = {c: resume_configs[c][1] for c in eval_configs}
     else:
       sums_acc = {c: None for c in eval_configs}
       counts_acc = {c: None for c in eval_configs}
     chunk_list = [
         (ci, sl)
         for ci, sl in enumerate(_chunk_slices(total, chunk_size))
-        if not (ci < state.chunk_index and len(lead_slices) == 1)
+        if not (lead_i == resume_lead and ci < resume_chunk)
     ]
 
     # Prefetch pipeline: host-side slicing/alignment/prepare/h2d-dispatch
@@ -1493,13 +1557,23 @@ def evaluate_streaming_multi(
             _vlog(f"chunk {ci}: backpressure wait", t0)
 
         state.chunk_index = ci + 1
+        state.lead_index = lead_i
         if checkpoint_path and checkpoint_every and (
             (ci + 1) % checkpoint_every == 0
         ):
           only = next(iter(eval_configs))
           snap = StreamingState(
-              sums_acc[only], counts_acc[only], ci + 1,
+              # legacy fields kept populated for single-config readers
+              sums_acc[only] if len(eval_configs) == 1 else None,
+              counts_acc[only] if len(eval_configs) == 1 else None,
+              ci + 1,
               chunk_size=chunk_size, total=total,
+              configs={c: (sums_acc[c], counts_acc[c])
+                       for c in eval_configs},
+              lead_index=lead_i,
+              n_lead_slices=len(lead_slices),
+              # finalized results of lead slices 0..lead_i-1 (host data)
+              completed_leads=list(lead_results),
           )
 
           # async save: the device_get inside save() drains the device

@@ -2,8 +2,11 @@ r"""CLI to compute quantiles over arbitrary dimensions.
 
 Flag-compatible with the reference scripts/compute_quantiles.py: adds a
 ``quantile`` dimension; with ``--name_suffix=_quantile`` the output is
-usable as climatology input for thresholded metrics.  Quantiles run as
-device sorts per pencil when payloads are jax; host numpy otherwise.
+usable as climatology input for thresholded metrics.  Each streamed tile
+is device_put and the quantile sorts run per pencil on the accelerator
+(host numpy fallback via WB2_NO_DEVICE=1); the tile stream replaces the
+reference's rechunk-sort pipeline
+(/root/reference/scripts/compute_quantiles.py:223-256).
 """
 from absl import app
 from absl import flags
@@ -59,7 +62,12 @@ def main(argv):
   quantiles = [float(q) for q in QUANTILES.value]
   reduce_dims = list(DIM.value)
 
+  on_device = xds.stream.use_device()
+
   def compute(block):
+    if on_device:
+      # h2d boundary: per-pencil quantile sorts run on the accelerator
+      block = xds.stream.to_device(block)
     out = block.quantile(quantiles, dim=reduce_dims, skipna=SKIPNA.value)
     if NAME_SUFFIX.value:
       out = out.rename({v: f"{v}{NAME_SUFFIX.value}" for v in out.keys()})

@@ -3,7 +3,9 @@ r"""CLI to compute zonal energy spectra (batched rFFT over longitude).
 Flag-compatible with the reference scripts/compute_zonal_energy_spectrum.py:
 each base variable VAR becomes a Parseval-normalized power spectrum over
 ``zonal_wavenumber`` (with per-latitude frequency/wavelength coords),
-averaged over --averaging_dims.  The rFFT runs batched on the accelerator.
+averaged over --averaging_dims.  Each streamed time block is device_put
+and the rFFT runs batched on the accelerator (host numpy fallback via
+WB2_NO_DEVICE=1).
 """
 from absl import app
 from absl import flags
@@ -58,7 +60,13 @@ def main(argv):
   n = ds.sizes.get(time_dim, 0)
   block_size = xds.stream.default_block(ds, time_dim) if n else 0
 
+  on_device = xds.stream.use_device()
+
   def block_spectra(block):
+    if on_device:
+      # h2d boundary: the batched rFFT + Parseval weighting then run on
+      # the accelerator; only the small spectrum ships back per block
+      block = xds.stream.to_device(block)
     pieces = {}
     for name in BASE_VARIABLES.value:
       spectrum = ZonalEnergySpectrum(name).compute(block[[name]])

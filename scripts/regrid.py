@@ -1,9 +1,11 @@
 r"""CLI to regrid a whole Zarr dataset (nearest/bilinear/conservative).
 
 Flag-compatible with the reference scripts/regrid.py. The grid geometry is
-precomputed host-side and the per-chunk apply is a batched device matmul /
-gather (see weatherbench2_tpu/regridding.py); time chunks stream through
-the device instead of a Beam pipeline.
+precomputed host-side; each streamed time block is device_put and the
+per-block apply is a batched device matmul / gather (see
+weatherbench2_tpu/regridding.py — the reference's own kernel is jit JAX,
+/root/reference/weatherbench2/regridding.py:35-36,505-536).  Host numpy
+fallback via WB2_NO_DEVICE=1.
 
 Example:
   python scripts/regrid.py \
@@ -81,9 +83,17 @@ def main(argv):
   target_grid = regridding.Grid.from_degrees(lon=new_lon, lat=new_lat)
   regridder = regridder_cls(source_grid, target_grid)
 
+  on_device = xds.stream.use_device()
+
+  def regrid_block(block):
+    if on_device:
+      # h2d boundary: regrid einsums/gathers run on the accelerator
+      block = xds.stream.to_device(block)
+    return regridder.regrid_dataset(block)
+
   time_dim = "time" if "time" in source_ds.sizes else None
   if time_dim is None:
-    out = regridder.regrid_dataset(source_ds)
+    out = regrid_block(source_ds)
     xds.to_zarr(out, OUTPUT_PATH.value, chunks=dict(OUTPUT_CHUNKS.value))
     return
 
@@ -94,9 +104,7 @@ def main(argv):
   chunk = TIME_CHUNK_SIZE.value or xds.stream.default_block(
       source_ds, time_dim
   )
-  probe = regridder.regrid_dataset(
-      source_ds.isel({time_dim: slice(0, 1)})
-  )
+  probe = regrid_block(source_ds.isel({time_dim: slice(0, 1)}))
   full_coords = {
       k: v for k, v in source_ds.coords_dict().items()
       if time_dim in v.dims
@@ -109,7 +117,7 @@ def main(argv):
   )
   for window in xds.iter_windows({time_dim: n}, {time_dim: chunk}):
     tile = source_ds.isel(window)
-    writer.write(regridder.regrid_dataset(tile), window)
+    writer.write(regrid_block(tile), window)
   writer.finish()
 
 

@@ -30,6 +30,58 @@ from . import core
 from . import io_zarr
 
 
+_DEVICE_OK: Optional[bool] = None
+
+
+def use_device() -> bool:
+  """Whether streaming-transform CLIs should run blocks on the accelerator.
+
+  The transform kernels (regrid matmuls, zonal rFFT, quantile sorts)
+  dispatch on payload type; lazy zarr windows materialize as numpy, so
+  without an explicit ``device_put`` the CLIs compute on host — the
+  reference's own regrid kernel is jit-compiled JAX wherever it runs
+  (/root/reference/weatherbench2/regridding.py:35-36,505-536).  Default
+  ON whenever a jax backend is importable; ``WB2_NO_DEVICE=1`` forces
+  the host path (the fallback for machines without an accelerator where
+  even CPU-jax dispatch overhead is unwanted).
+  """
+  global _DEVICE_OK
+  if os.environ.get("WB2_NO_DEVICE", "0") == "1":
+    return False
+  if _DEVICE_OK is None:
+    try:
+      import jax
+
+      jax.devices()
+      _DEVICE_OK = True
+    except Exception:  # pragma: no cover - jax/backend unavailable
+      _DEVICE_OK = False
+  return _DEVICE_OK
+
+
+def to_device(obj):
+  """device_put a Dataset/DataArray's variable payloads (coords stay host).
+
+  Materializes lazy windows in the process: this is the h2d boundary of
+  the streaming-transform CLIs.  Dimension coordinates and label logic
+  remain host-side — only the bulk field bytes ride to the accelerator.
+  """
+  import jax
+
+  if isinstance(obj, core.Dataset):
+    out = core.Dataset(
+        {}, coords=dict(obj.coords_dict()), attrs=dict(obj.attrs)
+    )
+    for k, v in obj.variables_dict().items():
+      out[k] = core.Variable(
+          v.dims, jax.device_put(np.asarray(v.data)), v.attrs
+      )
+    return out
+  if isinstance(obj, core.DataArray):
+    return obj.copy(data=jax.device_put(np.asarray(obj.data)))
+  return jax.device_put(np.asarray(obj))
+
+
 class ShapeStub(core.LazyArrayBase):
   """Shape/dtype-only array payload for output templates.
 

@@ -138,6 +138,67 @@ def eval_configs(clim, qclim=None):
           },
           regions=regions,
       ),
+      # ---- round-4 additions: the remaining reference config shapes
+      # (reference scripts/evaluate.py:462-651) ------------------------
+      "deterministic_spatial": config.Eval(
+          metrics={
+              "mse": metrics.SpatialMSE(),
+              "bias": metrics.SpatialBias(),
+              "mae": metrics.SpatialMAE(),
+          },
+      ),
+      "deterministic_vs_analysis": config.Eval(
+          metrics={
+              "mse": metrics.MSE(),
+              "bias": metrics.Bias(),
+              "mae": metrics.MAE(),
+          },
+          against_analysis=True,
+          regions=regions,
+      ),
+      "probabilistic_spatial": config.Eval(
+          metrics={
+              "crps": metrics.SpatialCRPS(),
+              "crps_spread": metrics.SpatialCRPSSpread(),
+              "crps_skill": metrics.SpatialCRPSSkill(),
+              "ensemble_mean_mse": metrics.SpatialEnsembleMeanMSE(),
+              "debiased_ensemble_mean_mse": (
+                  metrics.DebiasedSpatialEnsembleMeanMSE()
+              ),
+              "ensemble_variance": metrics.SpatialEnsembleVariance(),
+          },
+      ),
+      "ensemble_binary_spatial": config.Eval(
+          metrics={
+              "brier_score": metrics.SpatialEnsembleBrierScore(
+                  thresholds=thr
+              ),
+              "debiased_brier_score": (
+                  metrics.SpatialDebiasedEnsembleBrierScore(thresholds=thr)
+              ),
+              "ignorance_score": metrics.SpatialEnsembleIgnoranceScore(
+                  thresholds=thr
+              ),
+          },
+      ),
+      "probabilistic_spatial_histograms": config.Eval(
+          metrics={
+              "rank_histogram": metrics.RankHistogram(seed=771),
+          },
+      ),
+      "ensemble_forecast_vs_era_experimental_metrics": config.Eval(
+          metrics={
+              "energy_score": metrics.EnergyScore(),
+              "energy_score_spread": metrics.EnergyScoreSpread(),
+              "energy_score_skill": metrics.EnergyScoreSkill(),
+              "ensemble_mean_rmse_sqrt_before_time_avg": (
+                  metrics.EnsembleMeanRMSESqrtBeforeTimeAvg()
+              ),
+              "ensemble_stddev_sqrt_before_time_avg": (
+                  metrics.EnsembleStddevSqrtBeforeTimeAvg()
+              ),
+          },
+      ),
   }
 
 
@@ -154,6 +215,12 @@ def compute_results() -> dict:
           "probabilistic": paths["ensemble"],
           "ensemble_binary": paths["ensemble"],
           "gaussian": paths["gaussian"],
+          "probabilistic_spatial": paths["ensemble"],
+          "ensemble_binary_spatial": paths["ensemble"],
+          "probabilistic_spatial_histograms": paths["ensemble"],
+          "ensemble_forecast_vs_era_experimental_metrics": (
+              paths["ensemble"]
+          ),
       }.get(name, paths["forecast"])
       aux = (
           ["geopotential_std", "2m_temperature_std"]

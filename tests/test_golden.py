@@ -25,8 +25,14 @@ def fresh_results():
 @pytest.mark.parametrize(
     "name",
     [
+        # all 11 reference eval-config shapes (scripts/evaluate.py;
+        # reference scripts/evaluate.py:462-651)
         "deterministic", "deterministic_temporal", "probabilistic",
         "ensemble_binary", "gaussian",
+        "deterministic_spatial", "deterministic_vs_analysis",
+        "probabilistic_spatial", "ensemble_binary_spatial",
+        "probabilistic_spatial_histograms",
+        "ensemble_forecast_vs_era_experimental_metrics",
     ],
 )
 def test_golden(name, fresh_results):

@@ -17,7 +17,12 @@ import pytest
 
 from weatherbench2_tpu import schema, xds
 
-from .test_streaming_scale import _RUNNER, _baseline_rss
+from .test_streaming_scale import (
+    _RUNNER, _baseline_rss, rss_measurement_lock,
+)
+
+# scale tier: excluded from the default gate; serialized RSS measurement
+pytestmark = pytest.mark.scale
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
@@ -38,11 +43,12 @@ def _run_cli(script: str, args: list, tmp_path, extra_env=None,
   runner = str(tmp_path / "_runner.py")
   with open(runner, "w") as f:
     f.write(_RUNNER)
-  proc = subprocess.run(
-      [sys.executable, runner, os.path.join(REPO, "scripts", script)]
-      + args,
-      capture_output=True, text=True, env=env, timeout=timeout,
-  )
+  with rss_measurement_lock():
+    proc = subprocess.run(
+        [sys.executable, runner, os.path.join(REPO, "scripts", script)]
+        + args,
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
   assert proc.returncode == 0, proc.stderr[-4000:]
   for line in proc.stderr.splitlines():
     if line.startswith("PEAK_RSS_KB"):

@@ -610,10 +610,15 @@ def official13_0p25(seg):
   # per-chunk host-gather shipped ~3.1 GB of climatology PER CHUNK
   # (~60% of all h2d bytes); and checkpointing is back on now that the
   # engine snapshots lead-chunked streams.
+  # WB2_DEVICE_INFLIGHT=1: with the ~3.7 GB climatology resident, two
+  # queued executions (3 chunks of buffers co-resident) OOMed 16 GB HBM
+  # at chunk ~7; one queued execution keeps ~2 chunks resident and still
+  # overlaps transfer with execution.
   return _official13(
       seg, 0.25, "official13_0p25", init_chunk=1, lead_chunk=7,
       windowed_clim=True,
-      extra_env={"WB2_CLIM_DEVICE_BYTES": "4500000000"},
+      extra_env={"WB2_CLIM_DEVICE_BYTES": "4500000000",
+                 "WB2_DEVICE_INFLIGHT": "1"},
   )
 
 

@@ -1,0 +1,60 @@
+"""Round-4: the north-star driver refuses to start a segment that cannot
+fit on disk (per-segment preflight), instead of half-writing stores and
+dying with ENOSPC (the round-3 cascade: one full disk produced 12 error
+rows, each failed datagen leaving partials that kept the disk full)."""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_disk_preflight_halts_chain(tmp_path):
+  cache = tmp_path / "cache"
+  rows = tmp_path / "rows.jsonl"
+  env = dict(os.environ)
+  env.update({
+      "WB2_NS_RES": "4",  # smoke geometry; preflight fires before any CLI
+      # artificially tiny quota: demand absurd headroom so ANY store
+      # write is refused up front
+      "WB2_NS_HEADROOM_GIB": "1000000",
+      "WB2_NORTHSTAR_CACHE": str(cache),
+      "WB2_NORTHSTAR_RESULTS": str(rows),
+      "PYTHONPATH": REPO,
+  })
+  proc = subprocess.run(
+      [sys.executable, os.path.join(REPO, "tools", "north_star.py"),
+       "run", "official13_0p25",
+       "--seg", "2020-01-01:2020-01-03", "2020-01-03:2020-01-05"],
+      env=env, capture_output=True, text=True, timeout=300,
+  )
+  assert proc.returncode == 0, proc.stderr[-2000:]
+  # the chain HALTS on the first segment's preflight...
+  assert "HALT" in proc.stdout and "preflight" in proc.stdout, proc.stdout
+  # ...without burning an error row per segment...
+  if rows.exists():
+    recorded = [json.loads(l) for l in rows.read_text().splitlines()]
+    assert not [r for r in recorded if r.get("status") == "error"], recorded
+  # ...and without leaving partial zarr stores on disk
+  partials = []
+  for root, dirs, files in os.walk(cache):
+    if ".pool_incomplete" in files or ".zmetadata" in files:
+      partials.append(root)
+  assert not partials, partials
+
+
+def test_preflight_allows_fitting_store(tmp_path):
+  """With normal headroom the preflight is a no-op for tiny stores."""
+  sys.path.insert(0, os.path.join(REPO, "tools"))
+  import north_star
+
+  from weatherbench2_tpu import schema, xds  # noqa: F401
+
+  ds = schema.mock_truth_data(
+      variables_3d=[], variables_2d=["2m_temperature"],
+      time_start="2020-01-01", time_stop="2020-01-02",
+      spatial_resolution_in_degrees=30.0,
+  )
+  # a few KB against a default 20 GiB headroom on a disk with space
+  north_star._preflight_disk(ds, str(tmp_path / "tiny.zarr"))

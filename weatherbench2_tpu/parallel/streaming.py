@@ -148,6 +148,44 @@ def _to_device(obj, sharding_fn=None):
   return obj
 
 
+def batched_device_get(tree):
+  """``jax.device_get`` with ONE d2h round-trip per dtype, not per leaf.
+
+  Over a tunneled accelerator every fetch is a network round-trip.  The
+  accumulator tree carries hundreds of tiny (region, lead[, level])
+  leaves — per-leaf fetches cost minutes of pure latency (observed:
+  multi-minute stalls at every checkpoint save on the 0.25-degree
+  official run).  Pack all same-dtype jax leaves into one flat device
+  buffer (a single concatenate the device executes asynchronously) and
+  fetch that once.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  leaves, treedef = jax.tree_util.tree_flatten(tree)
+  by_dtype: dict = {}
+  for i, leaf in enumerate(leaves):
+    if isinstance(leaf, jax.Array) and leaf.size:
+      by_dtype.setdefault(np.dtype(leaf.dtype), []).append(i)
+  out = list(leaves)
+  for dtype, idxs in by_dtype.items():
+    flat = (
+        jnp.concatenate([jnp.ravel(leaves[i]) for i in idxs])
+        if len(idxs) > 1
+        else jnp.ravel(leaves[idxs[0]])
+    )
+    host = np.asarray(jax.device_get(flat))
+    off = 0
+    for i in idxs:
+      n = leaves[i].size
+      out[i] = host[off:off + n].reshape(leaves[i].shape)
+      off += n
+  for i, leaf in enumerate(leaves):
+    if isinstance(leaf, jax.Array) and not leaf.size:
+      out[i] = np.asarray(leaf)
+  return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @dataclasses.dataclass
 class StreamingState:
   """Checkpointable accumulator state for a streaming evaluation.
@@ -182,12 +220,10 @@ class StreamingState:
   completed_leads: Any = None  # [ {cname: results Dataset}, ... ]
 
   def save(self, path: str) -> None:
-    import jax
-
-    # ONE batched device_get: per-leaf np.asarray would pay a device
-    # round-trip per metric x variable leaf (minutes over a remote
-    # tunnel), the batched form pays one
-    host = jax.device_get((self.sums, self.counts, self.configs))
+    # ONE packed d2h per dtype: jax.device_get still fetches PER LEAF
+    # over the tunnel (minutes of latency for the official accumulator
+    # trees); batched_device_get concatenates on device and fetches once
+    host = batched_device_get((self.sums, self.counts, self.configs))
     with open(path, "wb") as f:
       pickle.dump(
           {"version": 2,
@@ -1596,9 +1632,9 @@ def evaluate_streaming_multi(
         _ckpt_wait()
         ckpt_pool.shutdown(wait=True)
 
-    # fetch all configs' accumulators to host in one batched device_get
+    # fetch all configs' accumulators to host in one packed device_get
     t0 = time.perf_counter()
-    sums_acc, counts_acc = jax.device_get((sums_acc, counts_acc))
+    sums_acc, counts_acc = batched_device_get((sums_acc, counts_acc))
     _vlog("final device_get", t0)
     per_config = {}
     for cname, eval_config in eval_configs.items():

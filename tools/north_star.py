@@ -610,15 +610,21 @@ def official13_0p25(seg):
   # per-chunk host-gather shipped ~3.1 GB of climatology PER CHUNK
   # (~60% of all h2d bytes); and checkpointing is back on now that the
   # engine snapshots lead-chunked streams.
-  # WB2_DEVICE_INFLIGHT=1: with the ~3.7 GB climatology resident, two
-  # queued executions (3 chunks of buffers co-resident) OOMed 16 GB HBM
-  # at chunk ~7; one queued execution keeps ~2 chunks resident and still
-  # overlaps transfer with execution.
+  # HBM budget at 16 GB with the ~3.7 GB climatology resident: bound the
+  # co-resident chunk buffers hard — one queued execution
+  # (WB2_DEVICE_INFLIGHT=1), one prepared chunk ahead (WB2_PREFETCH=1,
+  # still overlaps h2d with execution), and half the truth-dedup padding
+  # (WB2_UTIME_BUCKET=8: a 1-init x 7-lead chunk has 7 unique valid
+  # times; the default bucket of 16 shipped 2.3x the truth bytes).  The
+  # prior config (inflight=2, prefetch=2, bucket 16) kept ~5 chunks of
+  # buffers resident and OOMed at chunk ~7.
   return _official13(
       seg, 0.25, "official13_0p25", init_chunk=1, lead_chunk=7,
       windowed_clim=True,
       extra_env={"WB2_CLIM_DEVICE_BYTES": "4500000000",
-                 "WB2_DEVICE_INFLIGHT": "1"},
+                 "WB2_DEVICE_INFLIGHT": "1",
+                 "WB2_PREFETCH": "1",
+                 "WB2_UTIME_BUCKET": "8"},
   )
 
 

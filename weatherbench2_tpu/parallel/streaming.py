@@ -1375,7 +1375,12 @@ def evaluate_streaming_multi(
       vt = np.asarray(f_chunk["valid_time"].data)
       uniq, inv = np.unique(vt.ravel(), return_inverse=True)
       n_u = len(uniq)
-      n_pad = -(-n_u // 16) * 16  # bucket: stable shapes across chunks
+      # bucket: stable shapes across chunks (vs. per-chunk recompiles).
+      # Tunable: a 1-init x 7-lead official chunk has 7 unique times, so
+      # the default 16 ships 2.3x the needed truth bytes — lead-chunked
+      # 0.25-degree runs set 8 (same shape stability, half the padding)
+      bucket = max(1, int(os.environ.get("WB2_UTIME_BUCKET", "16")))
+      n_pad = -(-n_u // bucket) * bucket
       if n_pad > n_u:
         uniq = np.concatenate([uniq, np.repeat(uniq[-1:], n_pad - n_u)])
       uinv = inv.reshape(vt.shape).astype(np.int32)

@@ -212,8 +212,12 @@ def test_lead_chunked_grouped_kill_resume(tmp_path):
       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
   )
   try:
-    # wait for mid-run evidence (a checkpoint file), then kill hard
-    deadline = time.time() + 300
+    # wait for mid-run evidence (a checkpoint file), then kill hard.
+    # Generous deadline: on a loaded 1-core box the child's jit compiles
+    # alone can take minutes (observed: >300 s under a concurrent
+    # measurement chain), and a deadline expiry here reads as a bogus
+    # "died before any checkpoint" failure.
+    deadline = time.time() + 900
     while time.time() < deadline:
       if os.path.exists(state_file):
         break

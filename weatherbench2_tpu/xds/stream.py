@@ -65,21 +65,47 @@ def to_device(obj):
   Materializes lazy windows in the process: this is the h2d boundary of
   the streaming-transform CLIs.  Dimension coordinates and label logic
   remain host-side — only the bulk field bytes ride to the accelerator.
+
+  With WB2_STREAM_VERBOSE=1 each call logs its bytes and wall in the
+  same phase-line format as the evaluation engine, so transform-CLI runs
+  record their h2d stream (tools/north_star.py parses these lines).
   """
+  import time as _time
+
   import jax
+
+  t0 = _time.perf_counter()
+  nbytes = 0
+
+  def _put(data):
+    nonlocal nbytes
+    arr = np.asarray(data)
+    nbytes += arr.nbytes
+    return jax.device_put(arr)
 
   if isinstance(obj, core.Dataset):
     out = core.Dataset(
         {}, coords=dict(obj.coords_dict()), attrs=dict(obj.attrs)
     )
     for k, v in obj.variables_dict().items():
-      out[k] = core.Variable(
-          v.dims, jax.device_put(np.asarray(v.data)), v.attrs
-      )
-    return out
-  if isinstance(obj, core.DataArray):
-    return obj.copy(data=jax.device_put(np.asarray(obj.data)))
-  return jax.device_put(np.asarray(obj))
+      out[k] = core.Variable(v.dims, _put(v.data), v.attrs)
+  elif isinstance(obj, core.DataArray):
+    out = obj.copy(data=_put(obj.data))
+  else:
+    out = _put(obj)
+  if os.environ.get("WB2_STREAM_VERBOSE"):
+    ts = _time.strftime("%H:%M:%S")
+    print(
+        f"[stream {ts}] block to_device: h2d bytes "
+        f"forecast={nbytes} truth=0 prepared=0",
+        flush=True,
+    )
+    print(
+        f"[stream {ts}] block to_device: host prepare + h2d "
+        f"[{_time.perf_counter() - t0:.2f}s]",
+        flush=True,
+    )
+  return out
 
 
 class ShapeStub(core.LazyArrayBase):

@@ -64,14 +64,24 @@ def main(argv):
 
   on_device = xds.stream.use_device()
 
-  def compute(block):
-    if on_device:
-      # h2d boundary: per-pencil quantile sorts run on the accelerator
-      block = xds.stream.to_device(block)
+  def _quantile_core(block):
     out = block.quantile(quantiles, dim=reduce_dims, skipna=SKIPNA.value)
     if NAME_SUFFIX.value:
       out = out.rename({v: f"{v}{NAME_SUFFIX.value}" for v in out.keys()})
     return out
+
+  if on_device:
+    import jax
+
+    # jit: one compiled program per tile shape instead of eager per-op
+    # dispatch (a remote accelerator pays a round-trip per op otherwise)
+    _quantile_jit = jax.jit(_quantile_core)
+
+  def compute(block):
+    if on_device:
+      # h2d boundary: per-pencil quantile sorts run on the accelerator
+      return _quantile_jit(xds.stream.to_device(block))
+    return _quantile_core(block)
 
   # the reduced axes must be fully resident per tile (on-device sorts);
   # stream tiles over the remaining dims — the analogue of the

@@ -62,11 +62,7 @@ def main(argv):
 
   on_device = xds.stream.use_device()
 
-  def block_spectra(block):
-    if on_device:
-      # h2d boundary: the batched rFFT + Parseval weighting then run on
-      # the accelerator; only the small spectrum ships back per block
-      block = xds.stream.to_device(block)
+  def _pieces(block):
     pieces = {}
     for name in BASE_VARIABLES.value:
       spectrum = ZonalEnergySpectrum(name).compute(block[[name]])
@@ -75,6 +71,21 @@ def main(argv):
         spectrum = spectrum.mean(avg)
       pieces[name] = spectrum
     return pieces
+
+  if on_device:
+    import jax
+
+    # ONE compiled program per block shape: without jit every jnp op is
+    # dispatched eagerly — thousands of per-op round-trips per month
+    # through a remote accelerator (measured 15+ min vs ~1 min jitted)
+    _pieces_jit = jax.jit(_pieces)
+
+  def block_spectra(block):
+    if on_device:
+      # h2d boundary: the batched zonal DFT + Parseval weighting run on
+      # the accelerator; only the small spectrum ships back per block
+      return _pieces_jit(xds.stream.to_device(block))
+    return _pieces(block)
 
   if n == 0 or time_dim in AVERAGING_DIMS.value:
     if n == 0:

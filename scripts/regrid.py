@@ -84,11 +84,17 @@ def main(argv):
   regridder = regridder_cls(source_grid, target_grid)
 
   on_device = xds.stream.use_device()
+  if on_device:
+    import jax
+
+    # jit: one compiled program per block shape instead of eager per-op
+    # dispatch (a remote accelerator pays a round-trip per op otherwise)
+    _regrid_jit = jax.jit(regridder.regrid_dataset)
 
   def regrid_block(block):
     if on_device:
       # h2d boundary: regrid einsums/gathers run on the accelerator
-      block = xds.stream.to_device(block)
+      return _regrid_jit(xds.stream.to_device(block))
     return regridder.regrid_dataset(block)
 
   time_dim = "time" if "time" in source_ds.sizes else None

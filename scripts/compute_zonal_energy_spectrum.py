@@ -74,11 +74,23 @@ def main(argv):
 
   if on_device:
     import jax
+    import jax.numpy as jnp
 
     # ONE compiled program per block shape: without jit every jnp op is
     # dispatched eagerly — thousands of per-op round-trips per month
-    # through a remote accelerator (measured 15+ min vs ~1 min jitted)
+    # through a remote accelerator (measured 15+ min vs ~1 min jitted).
+    # The weighted accumulation rides INSIDE the program for the same
+    # reason (an eager add per variable per block is hundreds of tiny
+    # executions).
     _pieces_jit = jax.jit(_pieces)
+
+    @jax.jit
+    def _first_weighted(block, w):
+      return {n: p * w for n, p in _pieces(block).items()}
+
+    @jax.jit
+    def _step_weighted(acc, block, w):
+      return {n: acc[n] + p * w for n, p in _pieces(block).items()}
 
   def block_spectra(block):
     if on_device:
@@ -100,12 +112,20 @@ def main(argv):
     for start in range(0, n, block_size):
       block = ds.isel({time_dim: slice(start, start + block_size)})
       w = block.sizes[time_dim]
-      for name, spectrum in block_spectra(block).items():
-        prev = acc.get(name)
-        if prev is None:
-          acc[name] = spectrum * float(w)
-        else:
-          acc[name] = prev + spectrum * float(w)
+      if on_device:
+        dev = xds.stream.to_device(block)
+        wj = jnp.float32(w)
+        acc = (
+            _step_weighted(acc, dev, wj) if acc
+            else _first_weighted(dev, wj)
+        )
+      else:
+        for name, spectrum in _pieces(block).items():
+          prev = acc.get(name)
+          if prev is None:
+            acc[name] = spectrum * float(w)
+          else:
+            acc[name] = prev + spectrum * float(w)
       weight += w
     out = xds.Dataset({}, coords={})
     for name, total in acc.items():

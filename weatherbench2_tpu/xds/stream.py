@@ -359,11 +359,14 @@ def default_block(ds: core.Dataset, dim: str,
   dims at full extent) — the adaptive analogue of the reference's
   per-resolution --input_chunks recommendations
   (/root/reference/docs/source/official-evaluation.md:19,281,546).
-  Default target: 256 MB, overridable via WB2_BLOCK_BYTES (e.g. smaller
-  on memory-constrained hosts).
+  Default target: 256 MB host / 1 GB device (each device block is one
+  compiled program execution, and a remote accelerator pays a fixed
+  round-trip per execution — bigger blocks amortize it), overridable
+  via WB2_BLOCK_BYTES (e.g. smaller on memory-constrained hosts).
   """
   if target_bytes is None:
-    target_bytes = int(float(os.environ.get("WB2_BLOCK_BYTES", 2 ** 28)))
+    default = 2 ** 30 if use_device() else 2 ** 28
+    target_bytes = int(float(os.environ.get("WB2_BLOCK_BYTES", default)))
   per_step = 0
   for v in ds.variables_dict().values():
     if dim in v.dims:

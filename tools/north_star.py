@@ -885,6 +885,69 @@ def run(workload_name, segments=None, force=False, pass_id=1):
       shutil.rmtree(store, ignore_errors=True)
 
 
+def combine_spectra(workload_name="spectra_0p25", expect_segments=None):
+  """Time-count-weighted mean of the month spectra zarrs -> year file.
+
+  Spectra segments write a small time-averaged zarr per month (no .nc);
+  the year spectrum is the time-count-weighted mean of month means —
+  the same reduction the reference's xbeam.Mean applies over the full
+  year (reference compute_zonal_energy_spectrum.py:217-241).  Reads the
+  month outputs from the cache (they persist after input cleanup), so
+  this must run in the same session as the segments.
+  """
+  from weatherbench2_tpu import xds
+
+  by_seg = {}
+  with open(RESULTS) as f:
+    for line in f:
+      row = json.loads(line)
+      if row["workload"] == workload_name and row["status"] == "ok":
+        by_seg[row["segment"]] = row
+  segs = sorted(by_seg)
+  if expect_segments is not None and len(segs) != expect_segments:
+    raise SystemExit(
+        f"combine {workload_name}: {len(segs)} segments recorded, "
+        f"expected {expect_segments} — refusing a partial year"
+    )
+  weighted = None
+  total_w = 0.0
+  for seg in segs:
+    path = os.path.join(CACHE, workload_name, seg, "spectra.zarr")
+    if not os.path.exists(os.path.join(path, ".zmetadata")):
+      raise SystemExit(
+          f"combine {workload_name}: month output missing for {seg} "
+          f"({path}); re-run the segment (cache wiped between sessions)"
+      )
+    ds = xds.open_zarr(path)
+    start, stop = month_bounds(seg)
+    w = float((np.datetime64(stop) - np.datetime64(start))
+              // np.timedelta64(6, "h"))
+    weighted = ds * w if weighted is None else weighted + ds * w
+    total_w += w
+  if weighted is None:
+    raise SystemExit(f"no segment results for {workload_name}")
+  year = weighted / total_w
+  out_path = os.path.join(
+      REPO, "results", f"northstar_{workload_name}_year_spectra.zarr"
+  )
+  shutil.rmtree(out_path, ignore_errors=True)
+  xds.to_zarr(year, out_path)
+  # NaN audit: spectra of noise inputs must be NaN-free everywhere
+  for name, v in year.variables_dict().items():
+    arr = np.asarray(v.data)
+    frac = float(np.isnan(arr).mean()) if arr.size else 0.0
+    if frac:
+      print(f"  nan_audit {name}: {100 * frac:.1f}% NaN")
+  rows = [by_seg[s] for s in segs]
+  print(json.dumps({
+      "workload": workload_name, "segments": len(segs),
+      "total_wall_s": round(sum(r["wall_s"] for r in rows), 1),
+      "total_input_gib": round(sum(r["input_gib"] for r in rows), 1),
+      "year_file": out_path,
+  }))
+  return year
+
+
 def combine(workload_name, pass_id=None, expect_segments=None):
   """Init-count-weighted mean of segment results -> the year result.
 
@@ -998,6 +1061,8 @@ def main():
   os.makedirs(CACHE, exist_ok=True)
   if args.cmd == "run":
     run(args.workload, args.seg, force=args.force, pass_id=args.pass_id)
+  elif args.workload.startswith("spectra"):
+    combine_spectra(args.workload, expect_segments=args.expect_segments)
   else:
     combine(args.workload,
             pass_id=None if args.pass_id == 1 else args.pass_id,

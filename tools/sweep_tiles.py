@@ -143,9 +143,13 @@ def run_region_schedule(n, l, r, n_tile, l_tile, budget, iters):
   return time.perf_counter() - start
 
 
-def main(iters):
+def main(iters, geo_filter=None):
   results = []
+  def _keep(name):
+    return geo_filter is None or geo_filter in name
   for geo_name, (b, l, r) in GEOMETRIES.items():
+    if not _keep(geo_name):
+      continue
     for b_tile, l_tile, budget in SCHEDULES:
       key = f"{geo_name} b{b_tile}xl{l_tile} budget={budget}"
       try:
@@ -163,6 +167,8 @@ def main(iters):
       results.append(row)
       print(json.dumps(row), flush=True)
   for geo_name, (n, l, r) in REGION_GEOMETRIES.items():
+    if not _keep(geo_name):
+      continue
     for n_tile, l_tile, budget in REGION_SCHEDULES:
       key = f"{geo_name} n{n_tile}xl{l_tile} budget={budget}"
       try:
@@ -189,4 +195,5 @@ def main(iters):
 
 
 if __name__ == "__main__":
-  main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)
+  main(int(sys.argv[1]) if len(sys.argv) > 1 else 30,
+       sys.argv[2] if len(sys.argv) > 2 else None)

@@ -243,14 +243,26 @@ def main():
     by_wl: dict = {}
     for (wl, _), row in by_seg.items():
       by_wl.setdefault(wl, []).append(row)
+    # year-projection factor: how many segments make the year for the
+    # segment-measured (not year-complete) 0.25-degree workloads
+    _year_segments = {"prob_0p25": 62, "official13_0p25": 73}
     for wl, rows in by_wl.items():
-      north_star[wl] = {
+      entry = {
           "segments": len(rows),
           "total_wall_s": round(sum(r["wall_s"] for r in rows), 1),
           "total_input_gib": round(
               sum(r["input_gib"] for r in rows), 1
           ),
       }
+      n_year = _year_segments.get(wl)
+      if n_year and len(rows) < n_year:
+        mean_wall = entry["total_wall_s"] / entry["segments"]
+        entry["year_projection_s"] = round(mean_wall * n_year, 0)
+        entry["year_projection_basis"] = (
+            f"mean of {entry['segments']} measured segment walls x "
+            f"{n_year} segments/year (tunnel-bound; see NORTHSTAR.md)"
+        )
+      north_star[wl] = entry
 
   print(
       json.dumps(
@@ -267,6 +279,9 @@ def main():
               "attempts": big_attempts,
               "failed_attempts": big_failures,
               "north_star_0p25_measured": north_star,
+              # the reference's headline production protocol
+              # (official-evaluation.md:546) measured at 1440x721
+              "north_star_headline": north_star.get("official13_0p25"),
               "secondary": {
                   "metric": "deterministic_eval_suite_wallclock_1yr_64x32",
                   "value": round(small, 3),

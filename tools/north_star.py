@@ -771,6 +771,33 @@ def _segment_results_dir(workload_name, seg):
   return os.path.join(CACHE, workload_name, seg)
 
 
+def _segment_health(workload_name, seg):
+  """Health of a segment's persisted results: 'ok', 'missing', or 'nan'.
+
+  Used by repair passes to target only segments that actually need
+  re-running: a segment whose result files were lost (e.g. produced
+  before repo-persisting existed, then wiped with the round cache) or
+  whose files carry NaN (the round-3 det2 store-corruption signature).
+  Workloads with *structural* NaN in healthy output (e.g. SEEPS regions
+  without stations) should pass --seg explicitly instead of relying on
+  the NaN predicate.
+  """
+  d = _segment_results_dir(workload_name, seg)
+  if not os.path.isdir(d):
+    return "missing"
+  ncs = [f for f in os.listdir(d) if f.endswith(".nc")]
+  if not ncs:
+    return "missing"
+  from weatherbench2_tpu.xds import io_netcdf
+  for f in ncs:
+    ds = io_netcdf.open_netcdf(os.path.join(d, f))
+    for name, v in ds.variables_dict().items():
+      arr = np.asarray(v.data)
+      if arr.size and np.isnan(arr).any():
+        return f"nan:{f}:{name}"
+  return "ok"
+
+
 def _free_gib(path):
   st = os.statvfs(path)
   return st.f_bavail * st.f_frsize / 2**30
@@ -809,10 +836,34 @@ def _remove_incomplete_stores(seg_dir):
       shutil.rmtree(p, ignore_errors=True)
 
 
+def _repair_segments(workload_name, pass_id):
+  """A repair pass with no explicit --seg targets only segments whose
+  persisted results are missing or NaN-poisoned — re-measuring healthy
+  months burns tunnel budget without changing the combined result."""
+  segments = []
+  for seg in _months():
+    health = _segment_health(workload_name, seg)
+    if health == "ok":
+      print(f"repair pass {pass_id}: skip {seg} (persisted results "
+            f"healthy)", flush=True)
+    else:
+      print(f"repair pass {pass_id}: {seg} needs repair ({health})",
+            flush=True)
+      segments.append(seg)
+  return segments
+
+
 def run(workload_name, segments=None, force=False, pass_id=1):
   fn = WORKLOADS[workload_name]
   done = set() if force else _done_segments(pass_id)
-  segments = segments or _months()
+  if segments is None and pass_id > 1:
+    segments = _repair_segments(workload_name, pass_id)
+    if not segments:
+      print(f"repair pass {pass_id}: all segments healthy — nothing "
+            f"to do", flush=True)
+      return
+  elif segments is None:
+    segments = _months()
   # Free-disk gate: a 0.25-degree segment writes up to ~45 GiB of input
   # stores before the eval starts.  Starting a segment into a nearly
   # full disk produced the round-3 ENOSPC cascade (12 recorded error
@@ -948,8 +999,13 @@ def combine_spectra(workload_name="spectra_0p25", expect_segments=None):
   return year
 
 
-def combine(workload_name, pass_id=None, expect_segments=None):
-  """Init-count-weighted mean of segment results -> the year result.
+def combine(workload_name, pass_id=None, expect_segments=None,
+            out_label="year"):
+  """Init-count-weighted mean of segment results -> the combined result.
+
+  ``out_label`` names the span actually combined (default "year"; a
+  measured single month passes e.g. "month2020-01") so a partial-span
+  result can never masquerade as a year file.
 
   pass_id=None combines the latest ok row per segment regardless of
   pass; an explicit pass combines only that pass's rows.  If
@@ -1013,10 +1069,10 @@ def combine(workload_name, pass_id=None, expect_segments=None):
       )
     year = weighted / total_w
     out_path = (
-        os.path.join(CACHE, workload_name, "year_" + result_name)
+        os.path.join(CACHE, workload_name, f"{out_label}_{result_name}")
         if _SMOKE else
         os.path.join(REPO, "results",
-                     f"northstar_{workload_name}_year_{result_name}")
+                     f"northstar_{workload_name}_{out_label}_{result_name}")
     )
     xds.to_netcdf(year, out_path)
     print(f"combined {n_segs} segments ({int(total_w)} inits) "
@@ -1057,6 +1113,9 @@ def main():
                        "idempotence is per-pass (default 1 = original)")
   ap.add_argument("--expect-segments", type=int, default=None,
                   help="combine: require exactly this many segments")
+  ap.add_argument("--out-label", default="year",
+                  help="combine: span label in the output filename "
+                       "(e.g. month2020-01 for a single measured month)")
   args = ap.parse_args()
   os.makedirs(CACHE, exist_ok=True)
   if args.cmd == "run":
@@ -1066,7 +1125,8 @@ def main():
   else:
     combine(args.workload,
             pass_id=None if args.pass_id == 1 else args.pass_id,
-            expect_segments=args.expect_segments)
+            expect_segments=args.expect_segments,
+            out_label=args.out_label)
 
 
 if __name__ == "__main__":

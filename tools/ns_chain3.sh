@@ -33,6 +33,16 @@ run run prob_0p25 --pass-id 2 --seg 2020-01-01:2020-01-06 \
     2020-01-06:2020-01-11
 run combine prob_0p25 --expect-segments 6 --out-label month2020-01
 run combine official13_0p25 --expect-segments 6 --out-label month2020-01
+# VERDICT round-3 task 7: the fused deterministic kernel tile sweep at
+# the official 0.25-degree geometry — needs the chip to itself, so it
+# rides the chain (never concurrently with an eval; the tunnel
+# serializes users and pollutes both measurements).
+if [ ! -f /tmp/ns_stop ]; then
+  echo "=== chain3: sweep_tiles 30 official_0p25 [$(date -u +%H:%M:%S)] ===" >>"$L"
+  timeout 2400 python tools/sweep_tiles.py 30 official_0p25 \
+      >/tmp/sweep_r4c.log 2>&1
+  echo "sweep rc=$? (see /tmp/sweep_r4c.log)" >>"$L"
+fi
 run run det2_0p25 --pass-id 2
 run combine det2_0p25 --expect-segments 12
 echo "CHAIN3-DONE $(date -u)" >>"$L"

@@ -246,9 +246,22 @@ def main():
     # year-projection factor: how many segments make the year for the
     # segment-measured (not year-complete) 0.25-degree workloads
     _year_segments = {"prob_0p25": 62, "official13_0p25": 73}
+
+    def _segment_days(seg):
+      # 'YYYY-MM' (a month) or 'YYYY-MM-DD:YYYY-MM-DD' ([start, stop))
+      if ":" in seg:
+        start, stop = seg.split(":")
+        return int((np.datetime64(stop) - np.datetime64(start))
+                   // np.timedelta64(1, "D"))
+      first = np.datetime64(seg, "M")
+      return int(((first + 1).astype("datetime64[D]")
+                  - first.astype("datetime64[D]"))
+                 // np.timedelta64(1, "D"))
+
     for wl, rows in by_wl.items():
       entry = {
           "segments": len(rows),
+          "days_measured": sum(_segment_days(r["segment"]) for r in rows),
           "total_wall_s": round(sum(r["wall_s"] for r in rows), 1),
           "total_input_gib": round(
               sum(r["input_gib"] for r in rows), 1

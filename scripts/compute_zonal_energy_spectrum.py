@@ -81,7 +81,10 @@ def main(argv):
     # through a remote accelerator (measured 15+ min vs ~1 min jitted).
     # The weighted accumulation rides INSIDE the program for the same
     # reason (an eager add per variable per block is hundreds of tiny
-    # executions).
+    # executions).  Each block's time coords are normalized to
+    # placeholders BEFORE entering jit: coordinate values are static aux
+    # in the pytree (xds/tree.py), so distinct per-block time labels
+    # would otherwise retrace + recompile every block.
     _pieces_jit = jax.jit(_pieces)
 
     @jax.jit
@@ -96,6 +99,7 @@ def main(argv):
     if on_device:
       # h2d boundary: the batched zonal DFT + Parseval weighting run on
       # the accelerator; only the small spectrum ships back per block
+      block = xds.stream.normalize_stream_coords(block, time_dim)
       return _pieces_jit(xds.stream.to_device(block))
     return _pieces(block)
 
@@ -113,7 +117,8 @@ def main(argv):
       block = ds.isel({time_dim: slice(start, start + block_size)})
       w = block.sizes[time_dim]
       if on_device:
-        dev = xds.stream.to_device(block)
+        dev = xds.stream.to_device(
+            xds.stream.normalize_stream_coords(block, time_dim))
         wj = jnp.float32(w)
         acc = (
             _step_weighted(acc, dev, wj) if acc

@@ -91,9 +91,15 @@ def main(argv):
     # dispatch (a remote accelerator pays a round-trip per op otherwise)
     _regrid_jit = jax.jit(regridder.regrid_dataset)
 
-  def regrid_block(block):
+  def regrid_block(block, stream_dim=None):
     if on_device:
-      # h2d boundary: regrid einsums/gathers run on the accelerator
+      # h2d boundary: regrid einsums/gathers run on the accelerator.
+      # Streamed time coords are normalized to placeholders first —
+      # coord values are static jit aux (xds/tree.py), so per-block time
+      # labels would retrace + recompile every block; region writes are
+      # positional and take real labels from the template.
+      if stream_dim is not None:
+        block = xds.stream.normalize_stream_coords(block, stream_dim)
       return _regrid_jit(xds.stream.to_device(block))
     return regridder.regrid_dataset(block)
 
@@ -123,7 +129,7 @@ def main(argv):
   )
   for window in xds.iter_windows({time_dim: n}, {time_dim: chunk}):
     tile = source_ds.isel(window)
-    writer.write(regrid_block(tile), window)
+    writer.write(regrid_block(tile, stream_dim=time_dim), window)
   writer.finish()
 
 

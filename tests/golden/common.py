@@ -129,11 +129,24 @@ def eval_configs(clim, qclim=None):
           },
           regions=regions,
       ),
-      "gaussian": config.Eval(
+      # the two gaussian configs mirror the registry split
+      # (scripts/evaluate.py gaussian_probabilistic / gaussian_binary;
+      # reference scripts/evaluate.py:462-651) so golden names map 1:1
+      # to config names; the binary golden carries GaussianRPS as an
+      # extra metric to keep its numerics pinned too
+      "gaussian_probabilistic": config.Eval(
           metrics={
               "gaussian_crps": metrics.GaussianCRPS(),
               "gaussian_variance": metrics.GaussianVariance(),
+          },
+          regions=regions,
+      ),
+      "gaussian_binary": config.Eval(
+          metrics={
               "gaussian_brier": metrics.GaussianBrierScore(thresholds=thr),
+              "gaussian_ignorance": metrics.GaussianIgnoranceScore(
+                  thresholds=thr
+              ),
               "gaussian_rps": metrics.GaussianRPS(thresholds=thr),
           },
           regions=regions,
@@ -214,7 +227,8 @@ def compute_results() -> dict:
       fc_path = {
           "probabilistic": paths["ensemble"],
           "ensemble_binary": paths["ensemble"],
-          "gaussian": paths["gaussian"],
+          "gaussian_probabilistic": paths["gaussian"],
+          "gaussian_binary": paths["gaussian"],
           "probabilistic_spatial": paths["ensemble"],
           "ensemble_binary_spatial": paths["ensemble"],
           "probabilistic_spatial_histograms": paths["ensemble"],
@@ -224,7 +238,7 @@ def compute_results() -> dict:
       }.get(name, paths["forecast"])
       aux = (
           ["geopotential_std", "2m_temperature_std"]
-          if name == "gaussian"
+          if name.startswith("gaussian")
           else []
       )
       dc = config.Data(

@@ -126,3 +126,69 @@ def test_cli_device_matches_host(tmp_path, monkeypatch, script_mod,
         rtol=2e-5, atol=1e-6,
         err_msg=f"{script_mod}:{k} device/host mismatch",
     )
+
+
+def test_normalize_stream_coords_semantics():
+  """Streamed-dim labels become placeholders; static coords survive."""
+  ds = utils.random_like(
+      schema.mock_forecast_data(
+          variables_3d=[], variables_2d=["2m_temperature"],
+          time_start="2020-01-01", time_stop="2020-01-03",
+          lead_start="0 days", lead_stop="1 days",
+          spatial_resolution_in_degrees=30.0,
+      ),
+      seed=0,
+  )
+  norm = stream.normalize_stream_coords(ds, "time")
+  coords = norm.coords_dict()
+  # the streamed index coord is an arange placeholder now
+  np.testing.assert_array_equal(
+      np.asarray(coords["time"].data), np.arange(ds.sizes["time"])
+  )
+  # coords independent of the streamed dim are untouched
+  np.testing.assert_array_equal(
+      np.asarray(coords["latitude"].data),
+      np.asarray(ds.coords_dict()["latitude"].data),
+  )
+  # data payloads are untouched
+  np.testing.assert_array_equal(
+      norm["2m_temperature"].values, ds["2m_temperature"].values
+  )
+
+
+def test_normalize_stream_coords_single_trace():
+  """Equal-shaped blocks share ONE jit trace after normalization.
+
+  Coordinate values are static jit aux (xds/tree.py _StaticCoords), so
+  without normalization each streamed block's distinct time labels force
+  a retrace — the round-4 advisor found the transform CLIs recompiling
+  every block over the tunnel because of exactly this.
+  """
+  import jax
+
+  ds = utils.random_like(
+      schema.mock_truth_data(
+          variables_3d=[], variables_2d=["2m_temperature"],
+          time_start="2020-01-01", time_stop="2020-01-05",
+          spatial_resolution_in_degrees=30.0,
+          time_resolution="6 hours",
+      ),
+      seed=0,
+  )
+  traces = 0
+
+  @jax.jit
+  def f(block):
+    nonlocal traces
+    traces += 1  # trace-time side effect: counts compiles, not calls
+    return block + 1.0
+
+  blocks = [ds.isel({"time": slice(0, 4)}),
+            ds.isel({"time": slice(4, 8)})]
+  for b in blocks:
+    f(stream.normalize_stream_coords(b, "time"))
+  assert traces == 1, "normalized equal-shaped blocks must share a trace"
+  # control: raw blocks carry distinct time labels -> per-block retrace
+  for b in blocks:
+    f(b)
+  assert traces == 3, "raw per-block coords were expected to retrace"

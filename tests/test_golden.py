@@ -25,10 +25,11 @@ def fresh_results():
 @pytest.mark.parametrize(
     "name",
     [
-        # all 11 reference eval-config shapes (scripts/evaluate.py;
-        # reference scripts/evaluate.py:462-651)
+        # all 12 reference eval-config shapes, named 1:1 with the
+        # config registry (scripts/evaluate.py; reference
+        # scripts/evaluate.py:462-651)
         "deterministic", "deterministic_temporal", "probabilistic",
-        "ensemble_binary", "gaussian",
+        "ensemble_binary", "gaussian_probabilistic", "gaussian_binary",
         "deterministic_spatial", "deterministic_vs_analysis",
         "probabilistic_spatial", "ensemble_binary_spatial",
         "probabilistic_spatial_histograms",

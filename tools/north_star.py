@@ -290,6 +290,11 @@ def _parse_phase_log(log_path):
           fbytes += int(m.group(1))
           tbytes += int(m.group(2))
           pbytes += int(m.group(3))
+        # transform-CLI blocks log a neutral label (they are neither
+        # forecast nor truth bytes); count them in the total only
+        m = re.search(r"h2d bytes block=(\d+)", line)
+        if m:
+          fbytes += int(m.group(1))
   except OSError:
     pass
   return {

@@ -59,6 +59,37 @@ def use_device() -> bool:
   return _DEVICE_OK
 
 
+def normalize_stream_coords(obj, dims):
+  """Replace coord values that depend on streamed dims with placeholders.
+
+  jit cache keys include coordinate VALUES (xds/tree.py: _StaticCoords is
+  static aux), so streamed blocks carrying distinct time/latitude labels
+  would retrace — and recompile — the transform program on EVERY block;
+  over a remote accelerator each recompile is a full round-trip.  No
+  transform kernel's math depends on the streamed dim's labels, so equal-
+  shaped blocks can share ONE compiled trace: the streamed index coord
+  becomes an arange placeholder and other label coords along it are
+  dropped.  Output region writes are positional (RegionWriter.write), so
+  real labels always come from the output template, never from the
+  computed piece.  (Same trick as the evaluation engine's
+  _normalize_chunk_coords, weatherbench2_tpu/parallel/streaming.py.)
+  """
+  dims = {dims} if isinstance(dims, str) else set(dims)
+  if isinstance(obj, core.DataArray):
+    ds = obj.to_dataset(name=obj.name or "__da__")
+    out = normalize_stream_coords(ds, dims)
+    return out[obj.name or "__da__"]
+  coords = {}
+  for name, cv in obj.coords_dict().items():
+    if set(cv.dims) & dims:
+      if name in dims and cv.ndim == 1:
+        coords[name] = core.Variable((name,), np.arange(obj.sizes[name]))
+    else:
+      coords[name] = cv
+  return core.Dataset(dict(obj.variables_dict()), coords=coords,
+                      attrs=dict(obj.attrs))
+
+
 def to_device(obj):
   """device_put a Dataset/DataArray's variable payloads (coords stay host).
 
@@ -95,9 +126,10 @@ def to_device(obj):
     out = _put(obj)
   if os.environ.get("WB2_STREAM_VERBOSE"):
     ts = _time.strftime("%H:%M:%S")
+    # neutral label: these are transform-CLI block bytes, not forecast
+    # bytes — the phase parser (tools/north_star.py) reads both forms
     print(
-        f"[stream {ts}] block to_device: h2d bytes "
-        f"forecast={nbytes} truth=0 prepared=0",
+        f"[stream {ts}] block to_device: h2d bytes block={nbytes}",
         flush=True,
     )
     print(

@@ -1177,10 +1177,21 @@ def combine(workload_name, pass_id=None, expect_segments=None,
 
   if not segs:
     raise SystemExit(f"no segment results for {workload_name}")
-  first_dir = _segment_results_dir(workload_name, segs[0])
-  result_names = sorted(
-      f for f in os.listdir(first_dir) if f.endswith(".nc")
-  )
+  # union over ALL segment dirs: the first segment's dir can exist but
+  # be empty (results lost pre-persist), which previously produced an
+  # empty result_names list and an UnboundLocalError at `return year`
+  names = set()
+  for seg in segs:
+    d = _segment_results_dir(workload_name, seg)
+    if os.path.isdir(d):
+      names.update(f for f in os.listdir(d) if f.endswith(".nc"))
+  result_names = sorted(names)
+  if not result_names:
+    raise SystemExit(
+        f"combine {workload_name}: no segment .nc files on disk for any "
+        f"of {len(segs)} recorded segments — nothing to combine"
+    )
+  year = None
   n_segs = 0
   for result_name in result_names:
     weighted = None

@@ -257,12 +257,17 @@ def _add_base_variables(
 ) -> config.Data:
   """Add base variables required by derived variables to the selection."""
   data_config = copy.deepcopy(data_config)
+  # Order-preserving + deterministic: variable order flows into the
+  # accumulator Datasets and therefore into checkpoint pytree structure;
+  # a set() here made the order hash-randomized PER PROCESS, so a
+  # checkpoint saved by one run could not be resumed by the next
+  # (treedef mismatch in the streaming merge).
+  variables = list(data_config.selection.variables)
   for derived_variable in eval_config.derived_variables.values():
-    data_config.selection.variables = list(
-        set(data_config.selection.variables).union(
-            derived_variable.base_variables
-        )
-    )
+    for base in sorted(derived_variable.base_variables):
+      if base not in variables:
+        variables.append(base)
+  data_config.selection.variables = variables
   return data_config
 
 

@@ -64,6 +64,36 @@ def _normalize_chunk_coords(ds: xds.Dataset, chunk_dim: str) -> xds.Dataset:
                      attrs=ds.attrs)
 
 
+def _reorder_like(ref, obj):
+  """Rebuild ``obj`` with ``ref``'s Dataset variable ordering.
+
+  xds Datasets flatten to pytrees with variable names in insertion
+  order, so two trees with identical contents but different variable
+  order have different treedefs and cannot be tree_map-merged.  Used to
+  align a resumed checkpoint's accumulators (possibly saved by an older
+  build with hash-randomized order) to this run's chunk-program
+  structure.  Non-Dataset nodes (dicts, tuples, None counts) recurse;
+  anything else passes through untouched.
+  """
+  if isinstance(ref, dict) and isinstance(obj, dict):
+    return {k: _reorder_like(ref[k], obj[k]) if k in obj else obj[k]
+            for k in obj}
+  if isinstance(ref, (list, tuple)) and isinstance(obj, (list, tuple)):
+    if len(ref) == len(obj):
+      return type(obj)(_reorder_like(r, o) for r, o in zip(ref, obj))
+    return obj
+  if isinstance(ref, xds.Dataset) and isinstance(obj, xds.Dataset):
+    ref_names = list(ref.variables_dict())
+    obj_vars = obj.variables_dict()
+    if set(ref_names) == set(obj_vars) and ref_names != list(obj_vars):
+      return xds.Dataset(
+          {n: obj_vars[n] for n in ref_names},
+          coords=dict(obj.coords_dict()), attrs=obj.attrs,
+      )
+    return obj
+  return obj
+
+
 def _first_leaf(tree):
   """One array payload out of a (possibly nested) dict of xds results —
   used as a completion token for device-memory backpressure."""
@@ -1481,9 +1511,14 @@ def evaluate_streaming_multi(
     if lead_i == resume_lead and resume_configs is not None:
       sums_acc = {c: resume_configs[c][0] for c in eval_configs}
       counts_acc = {c: resume_configs[c][1] for c in eval_configs}
+      # Checkpoints saved by an older build could carry hash-randomized
+      # Dataset variable order (see evaluation._add_base_variables);
+      # align to this run's chunk-program structure on first merge.
+      needs_align = {c: True for c in eval_configs}
     else:
       sums_acc = {c: None for c in eval_configs}
       counts_acc = {c: None for c in eval_configs}
+      needs_align = {c: False for c in eval_configs}
     chunk_list = [
         (ci, sl)
         for ci, sl in enumerate(_chunk_slices(total, chunk_size))
@@ -1563,6 +1598,12 @@ def evaluate_streaming_multi(
             if sums_acc[cname] is None:
               sums_acc[cname], counts_acc[cname] = sums, counts
             else:
+              if needs_align.get(cname):
+                sums_acc[cname] = _reorder_like(sums, sums_acc[cname])
+                counts_acc[cname] = _reorder_like(
+                    counts, counts_acc[cname]
+                )
+                needs_align[cname] = False
               sums_acc[cname] = jax.tree_util.tree_map(
                   lambda a, b: a + b, sums_acc[cname], sums
               )

@@ -58,6 +58,12 @@ def main(argv):
     sel["level"] = [float(l) for l in LEVELS.value]
   if sel:
     ds = ds.sel(sel)
+  empty = {d: n for d, n in ds.sizes.items() if n == 0}
+  if empty:
+    raise SystemExit(
+        f"selection left dimensions empty: {empty} — check "
+        f"--time_start/--time_stop against the input's time range"
+    )
 
   quantiles = [float(q) for q in QUANTILES.value]
   reduce_dims = list(DIM.value)

@@ -616,6 +616,114 @@ def spectra_0p25(seg):
               rss_kb=rss, log=log, result=None, stores=[path])
 
 
+@workload("regrid_0p25")
+def regrid_0p25(seg):
+  """At-scale regrid CLI device run (round-4 VERDICT task 6): one month
+  of 6-hourly 0.25-degree data, all 13 official variables + wind speeds,
+  conservative 1440x721 -> 240x121 (the reference's own coarsening step,
+  reference regridding.py:505-536, official-evaluation.md).  Device
+  path: ONE jit conservative-matmul program per streamed time block."""
+  from weatherbench2_tpu import schema, xds
+
+  res = float(os.environ.get("WB2_NS_RES", "0.25"))  # smoke override
+  specs = _specs(
+      res,
+      _OFFICIAL_3D + ["wind_speed"],
+      _OFFICIAL_2D + ["10m_wind_speed"],
+      (500, 700, 850),
+  )
+  seg_dir = os.path.join(CACHE, "regrid_0p25", seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  start, stop = month_bounds(seg)
+  truth = schema.mock_truth_data(
+      time_start=start, time_stop=stop, time_resolution="6 hours",
+      **specs,
+  )
+  path = os.path.join(seg_dir, "input.zarr")
+  t0 = time.perf_counter()
+  write_pool_random(truth, path, {"time": 8}, {"time": 8})
+  gen_s = time.perf_counter() - t0
+  out_path = os.path.join(seg_dir, "regrid.zarr")
+  shutil.rmtree(out_path, ignore_errors=True)
+  # 6x coarsening at any smoke resolution; 0.25 deg -> 1.5 deg (240x121)
+  out_res = res * 6.0
+  lon_nodes = int(round(360.0 / out_res))
+  lat_nodes = int(round(180.0 / out_res)) + 1
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--input_path={path}", f"--output_path={out_path}",
+      f"--latitude_nodes={lat_nodes}", f"--longitude_nodes={lon_nodes}",
+      "--regridding_method=conservative",
+      "--time_chunk_size=8",
+  ], log, script="scripts/regrid.py")
+  out_ds = xds.open_zarr(out_path)
+  if out_ds.sizes["latitude"] != lat_nodes or (
+      out_ds.sizes["longitude"] != lon_nodes):
+    raise RuntimeError(
+        f"regrid sanity: output grid {out_ds.sizes} != "
+        f"({lat_nodes}, {lon_nodes})"
+    )
+  for name in out_ds.keys():
+    arr = np.asarray(out_ds[name].isel(time=slice(0, 2)).data)
+    if arr.size and np.isnan(arr).all():
+      raise RuntimeError(f"regrid sanity: {name!r} all-NaN")
+  return dict(in_bytes=_nbytes(truth), gen_s=gen_s, wall=wall,
+              rss_kb=rss, log=log, result=None, stores=[path])
+
+
+@workload("quantiles_0p25")
+def quantiles_0p25(seg):
+  """At-scale quantile CLI device run (round-4 VERDICT task 6): a
+  multi-year daily 0.25-degree pencil job — q={0.1, 0.5, 0.9} over the
+  full time axis, streamed latitude-band pencils sorted on device (the
+  reference's rechunk-quantile-rechunk climatology pipeline, reference
+  scripts/compute_quantiles.py:223-256).  Segment format:
+  'YYYY-MM-DD:YYYY-MM-DD' spanning the years reduced over."""
+  from weatherbench2_tpu import schema, xds
+
+  res = float(os.environ.get("WB2_NS_RES", "0.25"))  # smoke override
+  specs = _specs(
+      res, [], ["2m_temperature", "total_precipitation_24hr"], ()
+  )
+  seg_dir = os.path.join(CACHE, "quantiles_0p25", seg)
+  os.makedirs(seg_dir, exist_ok=True)
+  start, stop = month_bounds(seg)
+  truth = schema.mock_truth_data(
+      time_start=start, time_stop=stop, time_resolution="1 day",
+      **specs,
+  )
+  path = os.path.join(seg_dir, "input.zarr")
+  t0 = time.perf_counter()
+  write_pool_random(truth, path, {"time": 64}, {"time": 64})
+  gen_s = time.perf_counter() - t0
+  out_path = os.path.join(seg_dir, "quantiles.zarr")
+  shutil.rmtree(out_path, ignore_errors=True)
+  log = os.path.join(seg_dir, "cli.log")
+  wall, rss = _run_cli([
+      f"--input_path={path}", f"--output_path={out_path}",
+      "--quantiles=0.1,0.5,0.9", "--dim=time",
+      f"--time_start={start}",
+      f"--time_stop={np.datetime64(stop) - np.timedelta64(1, 'D')}",
+      "--working_chunks=latitude=16",
+  ], log, script="scripts/compute_quantiles.py")
+  out_ds = xds.open_zarr(out_path)
+  if out_ds.sizes.get("quantile") != 3 or "time" in out_ds.sizes:
+    raise RuntimeError(
+        f"quantile sanity: unexpected output dims {out_ds.sizes}"
+    )
+  for name, v in out_ds.variables_dict().items():
+    arr = np.asarray(v.data)
+    if arr.size and np.isnan(arr).any():
+      raise RuntimeError(f"quantile sanity: {name!r} carries NaN")
+    # quantile outputs of U(0,1)-like noise are strictly inside (0, 1)
+    # and monotone over the quantile dim
+    q = np.moveaxis(arr, list(v.dims).index("quantile"), 0)
+    if not (q[0] <= q[1]).all() or not (q[1] <= q[2]).all():
+      raise RuntimeError(f"quantile sanity: {name!r} not monotone in q")
+  return dict(in_bytes=_nbytes(truth), gen_s=gen_s, wall=wall,
+              rss_kb=rss, log=log, result=None, stores=[path])
+
+
 def _gen_qclim(path, specs, variables):
   """Quantile climatology for threshold metrics: <var>_quantile with a
   quantile dim, plus mean/std so GaussianQuantileThreshold also works."""

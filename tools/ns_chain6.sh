@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 chain, phase 2 (after chain3's det2 repair + year re-combine).
+# Strict value order per round-4 VERDICT:
+#   1. official13_0p25 2020-01-06:11 — the one missing January segment;
+#      resumes from its retained checkpoint + input stores (the
+#      cross-process resume bug is fixed in 8a6415a).
+#   2. official13_0p25 January month combine (6 segments) — the
+#      headline artifact.
+#   3. At-scale device runs for the two remaining partial CLI paths
+#      (VERDICT task 6): one month of conservative 1440x721 -> 240x121
+#      regridding, and a 3-year daily quantile pencil job.
+#   4. prob_0p25 February segments — push the ENS ledger past January;
+#      each ~45 min, the chain takes as many as the round's budget
+#      allows (touch /tmp/ns_stop to wind down cleanly).
+set -u
+cd /root/repo
+L=${WB2_CHAIN_LOG:-/tmp/ns_chain6.log}
+export WB2_NS_MIN_FREE_GIB=30
+WAIT_PID=${1:-}
+if [ -n "$WAIT_PID" ]; then
+  echo "=== chain6: waiting for pid $WAIT_PID (chain3 det2 legs) ===" >>"$L"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
+fi
+run() {
+  [ -f /tmp/ns_stop ] && { echo "chain6: stop file, exiting" >>"$L"; exit 0; }
+  echo "=== chain6: $* [$(date -u +%H:%M:%S)] ===" >>"$L"
+  python tools/north_star.py "$@" >>"$L" 2>&1
+}
+run run official13_0p25 --seg 2020-01-06:2020-01-11
+run combine official13_0p25 --expect-segments 6 --out-label month2020-01
+run run regrid_0p25 --seg 2020-01
+run run quantiles_0p25 --seg 1993-01-01:1996-01-01
+run run prob_0p25 --seg 2020-02-01:2020-02-06 2020-02-06:2020-02-11 \
+    2020-02-11:2020-02-16 2020-02-16:2020-02-21 2020-02-21:2020-02-26 \
+    2020-02-26:2020-03-01
+run combine prob_0p25 --expect-segments 12 --out-label months2020-01-02
+echo "CHAIN6-DONE $(date -u)" >>"$L"

@@ -20,6 +20,15 @@ import os
 import sys
 import time
 
+# `python tools/sweep_tiles.py` puts tools/ (not the repo root) on
+# sys.path — bootstrap the root and the axon TPU client site so the
+# sweep runs without a PYTHONPATH incantation (chain5's sweep leg
+# failed all schedules on exactly this).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO, "/root/.axon_site"):
+  if os.path.isdir(_p) and _p not in sys.path:
+    sys.path.insert(0, _p)
+
 import numpy as np
 
 os.environ.setdefault(

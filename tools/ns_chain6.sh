@@ -30,6 +30,21 @@ run run official13_0p25 --seg 2020-01-06:2020-01-11
 run combine official13_0p25 --expect-segments 6 --out-label month2020-01
 run run regrid_0p25 --seg 2020-01
 run run quantiles_0p25 --seg 1993-01-01:1996-01-01
+# VERDICT task 5 (thrice-promised): the fused deterministic kernel tile
+# sweep at the official 0.25-degree geometry.  Rides the chain so it
+# never shares the tunnel with an eval; its 12:09 attempt died on a
+# transient remote_compile network error, so retry once if the first
+# pass reports no winner.
+if [ ! -f /tmp/ns_stop ]; then
+  for attempt in 1 2; do
+    echo "=== chain6: sweep_tiles 30 official_0p25 (attempt $attempt) [$(date -u +%H:%M:%S)] ===" >>"$L"
+    timeout 2700 python tools/sweep_tiles.py 30 official_0p25 \
+        >/tmp/sweep_r5b.log 2>&1
+    rc=$?
+    echo "sweep rc=$rc (see /tmp/sweep_r5b.log)" >>"$L"
+    grep -q '"best": {}' /tmp/sweep_r5b.log || break
+  done
+fi
 run run prob_0p25 --seg 2020-02-01:2020-02-06 2020-02-06:2020-02-11 \
     2020-02-11:2020-02-16 2020-02-16:2020-02-21 2020-02-21:2020-02-26 \
     2020-02-26:2020-03-01

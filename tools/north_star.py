@@ -890,28 +890,40 @@ def prob_240(seg):
 # ---------------------------------------------------------------------------
 
 def _check_result_sanity(out):
-  """Refuse to record a segment whose result has an all-NaN variable.
+  """Refuse to record a segment whose result carries non-structural NaN.
 
   Under skipna=False one NaN input cell poisons every (metric, region,
   lead) of its variable for the whole segment; synthetic noise inputs
-  can never legitimately produce that, so an all-NaN variable means a
-  corrupt input store (e.g. an interrupted datagen's fill-value chunks)
-  and the segment must not enter the record."""
-  from weatherbench2_tpu.xds import io_netcdf
+  can never legitimately produce that, so any NaN outside the
+  protocol-undefined slices (SEEPS off-precipitation, non-MSE vector
+  metrics — the model in tools/audit_results.py) means a corrupt or
+  mid-read-deleted input store.  The original guard only caught fully
+  all-NaN VARIABLES and let the 2020-01-26 official13 artifact (14 of
+  21 leads NaN, early leads intact) enter the record as "ok"."""
+  import audit_results
 
   result = out.get("result")
-  paths = [result] if isinstance(result, str) else list(result or [])
+  ref = result if isinstance(result, str) else (result or [None])[0]
+  if not ref:
+    return
+  # audit every .nc beside the reference result — grouped configs write
+  # several files per segment and _persist_segment_results copies all
+  src_dir = os.path.dirname(ref)
+  paths = sorted(
+      os.path.join(src_dir, f)
+      for f in os.listdir(src_dir) if f.endswith(".nc")
+  ) if os.path.isdir(src_dir) else []
   for p in paths:
-    if not p or not os.path.exists(p):
+    if not os.path.exists(p):
       continue
-    ds = io_netcdf.open_netcdf(p)
-    for name, v in ds.variables_dict().items():
-      arr = np.asarray(v.data)
-      if arr.size and np.isnan(arr).all():
-        raise RuntimeError(
-            f"result sanity: variable {name!r} in {p} is all-NaN "
-            "(corrupt input store?)"
-        )
+    violations = audit_results.audit_file(p)
+    if violations:
+      raise RuntimeError(
+          f"result sanity: {p} fails the structural-NaN audit "
+          f"(corrupt input store?): {'; '.join(violations[:5])}"
+          + (f" (+{len(violations) - 5} more)"
+             if len(violations) > 5 else "")
+      )
 
 
 def _persist_segment_results(workload_name, seg, out):
@@ -944,30 +956,60 @@ def _segment_health(workload_name, seg):
   Used by repair passes to target only segments that actually need
   re-running: a segment whose result files were lost (e.g. produced
   before repo-persisting existed, then wiped with the round cache) or
-  whose files carry NaN (the round-3 det2 store-corruption signature).
-  Workloads with *structural* NaN in healthy output (e.g. SEEPS regions
-  without stations) should pass --seg explicitly instead of relying on
-  the NaN predicate.
-  """
+  whose files carry NaN outside the protocol-undefined slices (the
+  structural model in tools/audit_results.py — SEEPS is defined only
+  for precipitation, vector errors only for MSE).  The structural
+  model makes the predicate safe for official13-style workloads, which
+  a plain any-NaN check would always flag as unhealthy."""
   d = _segment_results_dir(workload_name, seg)
   if not os.path.isdir(d):
     return "missing"
   ncs = [f for f in os.listdir(d) if f.endswith(".nc")]
   if not ncs:
     return "missing"
-  from weatherbench2_tpu.xds import io_netcdf
+  import audit_results
   for f in ncs:
-    ds = io_netcdf.open_netcdf(os.path.join(d, f))
-    for name, v in ds.variables_dict().items():
-      arr = np.asarray(v.data)
-      if arr.size and np.isnan(arr).any():
-        return f"nan:{f}:{name}"
+    violations = audit_results.audit_file(os.path.join(d, f))
+    if violations:
+      return f"nan:{f}:{violations[0]}"
   return "ok"
 
 
 def _free_gib(path):
   st = os.statvfs(path)
   return st.f_bavail * st.f_frsize / 2**30
+
+
+_DRIVER_LOCK_FH = None  # held for the process lifetime once acquired
+
+
+def _acquire_driver_lock():
+  """One driver at a time over a shared cache.
+
+  Two drivers interleaving on the same cache corrupted a segment
+  (official13_0p25 2020-01-26: driver A's post-success store cleanup —
+  `_run_segments`' rmtree of out["stores"] — deleted the zarr stores
+  driver B's live eval was still reading; zarr serves missing chunk
+  files as fill-value NaN, so B's result silently lost 14 of 21 leads
+  and was recorded "ok").  The reference never faces this: Dataflow
+  owns worker scheduling (SURVEY §5).  Here a blocking exclusive flock
+  on the cache serializes whole driver invocations; `gen` subprocesses
+  are spawned BY the lock holder and must not re-acquire."""
+  global _DRIVER_LOCK_FH
+  import fcntl
+  os.makedirs(CACHE, exist_ok=True)
+  path = os.path.join(CACHE, ".driver.lock")
+  _DRIVER_LOCK_FH = open(path, "w")
+  try:
+    fcntl.flock(_DRIVER_LOCK_FH, fcntl.LOCK_EX | fcntl.LOCK_NB)
+  except OSError:
+    print(f"waiting for the concurrent north_star driver holding "
+          f"{path}", flush=True)
+    fcntl.flock(_DRIVER_LOCK_FH, fcntl.LOCK_EX)
+  _DRIVER_LOCK_FH.seek(0)
+  _DRIVER_LOCK_FH.truncate()
+  _DRIVER_LOCK_FH.write(str(os.getpid()))
+  _DRIVER_LOCK_FH.flush()
 
 
 def _persist_error_log(workload_name, seg, seg_dir):
@@ -1003,12 +1045,6 @@ def _remove_incomplete_stores(seg_dir):
       shutil.rmtree(p, ignore_errors=True)
 
 
-# Workloads whose healthy output is NaN-free everywhere, so any NaN in a
-# persisted segment result means poisoned inputs and warrants a re-run.
-# official13_* carries STRUCTURAL SEEPS NaN (regions without stations)
-# and must never be auto-flagged; prob outputs carry structural NaN in
-# some threshold/region cells.  (Round-4 advisor finding.)
-_NAN_REPAIR_WORKLOADS = {"det2_0p25"}
 
 
 def _recorded_segments(workload_name):
@@ -1034,13 +1070,13 @@ def _recorded_segments(workload_name):
 def _repair_segments(workload_name, pass_id):
   """A repair pass with no explicit --seg targets only segments whose
   persisted results are missing or NaN-poisoned — re-measuring healthy
-  months burns tunnel budget without changing the combined result."""
+  months burns tunnel budget without changing the combined result.
+  The health predicate understands structural NaN (audit_results), so
+  every workload is NaN-checkable — the previous det2-only allowlist
+  let the corrupted official13 2020-01-26 artifact read as healthy."""
   segments = []
-  nan_check = workload_name in _NAN_REPAIR_WORKLOADS
   for seg in _recorded_segments(workload_name):
     health = _segment_health(workload_name, seg)
-    if health.startswith("nan") and not nan_check:
-      health = "ok"  # structural NaN is healthy for this workload
     if health == "ok":
       print(f"repair pass {pass_id}: skip {seg} (persisted results "
             f"healthy)", flush=True)
@@ -1285,6 +1321,21 @@ def combine(workload_name, pass_id=None, expect_segments=None,
 
   if not segs:
     raise SystemExit(f"no segment results for {workload_name}")
+  # health gate: a segment file carrying non-structural NaN (a corrupt
+  # or mid-read-deleted input store — the official13 2020-01-26
+  # incident) must never thin out a combined artifact; re-run it
+  # (`run <workload> --pass-id N`) before combining
+  unhealthy = {
+      seg: h for seg in segs
+      if (h := _segment_health(workload_name, seg)) != "ok"
+  }
+  if unhealthy:
+    for seg, h in unhealthy.items():
+      print(f"  UNHEALTHY segment: {workload_name} {seg} ({h})")
+    raise SystemExit(
+        f"combine {workload_name}: {len(unhealthy)} of {len(segs)} "
+        "segments fail the structural-NaN audit — refusing to combine"
+    )
   # union over ALL segment dirs: the first segment's dir can exist but
   # be empty (results lost pre-persist), which previously produced an
   # empty result_names list and an UnboundLocalError at `return year`
@@ -1403,6 +1454,8 @@ def main():
                        "(e.g. month2020-01 for a single measured month)")
   args = ap.parse_args()
   os.makedirs(CACHE, exist_ok=True)
+  if args.cmd != "gen":
+    _acquire_driver_lock()
   if args.cmd == "gen":
     gen(args.workload, args.seg)
   elif args.cmd == "run":

@@ -1,11 +1,13 @@
 #!/bin/bash
 # Round-5 chain, phase 2 (after chain3's det2 repair + year re-combine).
 # Strict value order per round-4 VERDICT:
-#   1. official13_0p25 2020-01-06:11 — the one missing January segment;
-#      resumes from its retained checkpoint + input stores (the
-#      cross-process resume bug is fixed in 8a6415a).
+#   1. official13_0p25 repair pass: auto-targets 2020-01-06:11 (missing;
+#      resumes from its retained checkpoint + input stores — the
+#      cross-process resume bug is fixed in 8a6415a) AND 2020-01-26:02-01
+#      (the concurrent-driver store-deletion corruption caught by the
+#      structural-NaN audit; see tools/audit_results.py).
 #   2. official13_0p25 January month combine (6 segments) — the
-#      headline artifact.
+#      headline artifact; refuses unhealthy segments by construction now.
 #   3. At-scale device runs for the two remaining partial CLI paths
 #      (VERDICT task 6): one month of conservative 1440x721 -> 240x121
 #      regridding, and a 3-year daily quantile pencil job.
@@ -26,7 +28,7 @@ run() {
   echo "=== chain6: $* [$(date -u +%H:%M:%S)] ===" >>"$L"
   python tools/north_star.py "$@" >>"$L" 2>&1
 }
-run run official13_0p25 --seg 2020-01-06:2020-01-11
+run run official13_0p25 --pass-id 2
 run combine official13_0p25 --expect-segments 6 --out-label month2020-01
 run run regrid_0p25 --seg 2020-01
 run run quantiles_0p25 --seg 1993-01-01:1996-01-01

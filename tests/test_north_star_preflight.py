@@ -26,6 +26,9 @@ def test_disk_preflight_halts_chain(tmp_path):
       # purely on the box's disk state)
       "WB2_NS_MIN_FREE_GIB": "0",
       "WB2_NS_OVERLAP_GEN": "0",
+      # hermetic stop file: a live chain's /tmp/ns_stop wind-down flag
+      # must not halt the subprocess under test (round-5 incident)
+      "WB2_NS_STOP_FILE": str(tmp_path / "ns_stop"),
       "WB2_NORTHSTAR_CACHE": str(cache),
       "WB2_NORTHSTAR_RESULTS": str(rows),
       "PYTHONPATH": REPO,

@@ -63,7 +63,9 @@ def test_repair_pass_targets_unhealthy_months_only(seg_layout, capsys):
   assert segs == [f"2020-{m:02d}" for m in range(2, 13)]
   out = capsys.readouterr().out
   assert "skip 2020-01" in out
-  assert "needs repair (nan:deterministic.nc:acc.z500)" in out
+  # the health string carries the audit detail after the variable name
+  # (e.g. "nan:deterministic.nc:acc.z500: 8.3% NaN (none allowed)")
+  assert "needs repair (nan:deterministic.nc:acc.z500" in out
 
 
 def test_repair_pass_all_healthy_runs_nothing(tmp_path, monkeypatch,

@@ -1145,10 +1145,16 @@ def run(workload_name, segments=None, force=False, pass_id=1):
 
 def _run_segments(workload_name, fn, segments, done, pass_id, min_free,
                   gen_procs, _spawn_gen):
+  # The stop file is GLOBAL box state (/tmp/ns_stop) by design — one
+  # flag winds down every live chain — so tests and hermetic callers
+  # must pin their own path or a concurrently-running chain's wind-down
+  # flag halts the subprocess under test (observed in round 5: chain7's
+  # takeover flag turned test_disk_preflight_halts_chain red).
+  stop_file = os.environ.get("WB2_NS_STOP_FILE", "/tmp/ns_stop")
   for i, seg in enumerate(segments):
-    if os.path.exists("/tmp/ns_stop"):
+    if os.path.exists(stop_file):
       # clean inter-segment halt (e.g. to free the chip for bench.py)
-      print("stop file /tmp/ns_stop present — halting chain", flush=True)
+      print(f"stop file {stop_file} present — halting chain", flush=True)
       return
     if (workload_name, seg) in done:
       print(f"skip {workload_name} {seg} (done)", flush=True)

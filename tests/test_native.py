@@ -65,11 +65,21 @@ def test_native_speedup_on_large_pools():
   rs = np.random.RandomState(3)
   values = rs.randn(2000, 2 * 366)
   weights = rs.rand(2 * 366)
-  t0 = time.perf_counter()
-  native.weighted_quantile_native(values, [0.5, 0.9], weights)
-  native_t = time.perf_counter() - t0
-  t0 = time.perf_counter()
-  _numpy_reference(values, [0.5, 0.9], weights)
-  numpy_t = time.perf_counter() - t0
+  # best-of-3 each: a single timing pair flakes under external CPU
+  # contention (observed in-round: a concurrent tunnel sweep on the
+  # one-core box inverted a single-shot comparison)
+  native_t = min(
+      _timed(time, native.weighted_quantile_native, values, [0.5, 0.9],
+             weights)
+      for _ in range(3))
+  numpy_t = min(
+      _timed(time, _numpy_reference, values, [0.5, 0.9], weights)
+      for _ in range(3))
   # multithreaded C++ should beat the per-pencil Python interp loop
   assert native_t < numpy_t, (native_t, numpy_t)
+
+
+def _timed(time, fn, *args):
+  t0 = time.perf_counter()
+  fn(*args)
+  return time.perf_counter() - t0

@@ -152,6 +152,29 @@ def run_region_schedule(n, l, r, n_tile, l_tile, budget, iters):
   return time.perf_counter() - start
 
 
+def _with_transient_retry(key, fn, *args, retries=2, backoff_s=90):
+  """Retry a schedule on transient tunnel-infrastructure errors.
+
+  The sweep's three prior in-chain attempts all died on
+  `UNAVAILABLE .. remote_compile .. Network Error` — the tunnel's
+  compile service flaking, not a property of the schedule (the same
+  kernels compiled fine at this shape in the eval runs).  VMEM OOMs
+  and other genuine Mosaic failures are NOT retried."""
+  for attempt in range(retries + 1):
+    try:
+      return fn(*args)
+    except Exception as e:  # noqa: BLE001
+      msg = str(e)
+      transient = ("UNAVAILABLE" in msg or "Network Error" in msg
+                   or "remote_compile" in msg)
+      if not transient or attempt == retries:
+        raise
+      print(f"{key}: transient backend error (attempt {attempt + 1}), "
+            f"retrying in {backoff_s}s: {msg[:100]}",
+            file=sys.stderr, flush=True)
+      time.sleep(backoff_s)
+
+
 def main(iters, geo_filter=None):
   results = []
   def _keep(name):
@@ -162,7 +185,8 @@ def main(iters, geo_filter=None):
     for b_tile, l_tile, budget in SCHEDULES:
       key = f"{geo_name} b{b_tile}xl{l_tile} budget={budget}"
       try:
-        seconds = run_schedule(b, l, r, b_tile, l_tile, budget, iters)
+        seconds = _with_transient_retry(
+            key, run_schedule, b, l, r, b_tile, l_tile, budget, iters)
       except Exception as e:  # noqa: BLE001 - VMEM OOM etc.
         print(f"{key}: FAILED {str(e)[:120]}", file=sys.stderr, flush=True)
         continue
@@ -181,8 +205,9 @@ def main(iters, geo_filter=None):
     for n_tile, l_tile, budget in REGION_SCHEDULES:
       key = f"{geo_name} n{n_tile}xl{l_tile} budget={budget}"
       try:
-        seconds = run_region_schedule(n, l, r, n_tile, l_tile, budget,
-                                      iters)
+        seconds = _with_transient_retry(
+            key, run_region_schedule, n, l, r, n_tile, l_tile, budget,
+            iters)
       except Exception as e:  # noqa: BLE001 - VMEM OOM etc.
         print(f"{key}: FAILED {str(e)[:120]}", file=sys.stderr, flush=True)
         continue
